@@ -1,0 +1,35 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX initializes.
+
+Tests must run anywhere (CI, TPU-attached hosts) with deterministic multi-device semantics, so we
+pin JAX to CPU and fake 8 devices — the standard TPU-less recipe for exercising jax.sharding /
+pjit code paths. Pallas kernels dispatch to their XLA fallbacks on CPU; kernel-parity tests that
+need the real TPU path are marked ``tpu_only`` and skipped here.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+# Env vars alone don't stick on hosts whose sitecustomize force-registers a TPU plugin backend;
+# the config update is authoritative and must happen before any device is touched.
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu_only: needs a real TPU backend")
+
+
+def pytest_runtest_setup(item):
+    if "tpu_only" in item.keywords and jax.default_backend() != "tpu":
+        pytest.skip("requires TPU backend")

@@ -1,0 +1,161 @@
+"""Geometry-op numerics: chamfer / FPS / ball query / kNN / normals vs brute-force oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from puzzlefusion_plusplus_tpu import ops
+
+RNG = np.random.default_rng(1)
+
+
+def brute_nn(x, y):
+    d = ((x[:, :, None, :] - y[:, None, :, :]) ** 2).sum(-1)
+    return d.min(-1), d.argmin(-1)
+
+
+class TestChamfer:
+    def test_nn_distance_matches_bruteforce(self):
+        x = RNG.standard_normal((3, 100, 3)).astype(np.float32)
+        y = RNG.standard_normal((3, 130, 3)).astype(np.float32)
+        d, idx = ops.nn_distance(jnp.array(x), jnp.array(y))
+        bd, bidx = brute_nn(x, y)
+        np.testing.assert_allclose(np.asarray(d), bd, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), bidx)
+
+    def test_chamfer_mean_symmetric_zero(self):
+        x = RNG.standard_normal((2, 50, 3)).astype(np.float32)
+        cd = ops.chamfer_distance_mean(jnp.array(x), jnp.array(x))
+        np.testing.assert_allclose(np.asarray(cd), 0.0, atol=1e-5)
+
+    def test_gradients(self):
+        x = jnp.array(RNG.standard_normal((2, 20, 3)).astype(np.float32))
+        y = jnp.array(RNG.standard_normal((2, 25, 3)).astype(np.float32))
+
+        def loss(x, y):
+            return ops.chamfer_distance_mean(x, y).sum()
+
+        gx, gy = jax.grad(loss, argnums=(0, 1))(x, y)
+        # numerical check on a few coordinates
+        eps = 1e-3
+        for b, n, c in [(0, 3, 1), (1, 7, 2)]:
+            xp = x.at[b, n, c].add(eps)
+            xm = x.at[b, n, c].add(-eps)
+            num = (loss(xp, y) - loss(xm, y)) / (2 * eps)
+            np.testing.assert_allclose(gx[b, n, c], num, rtol=2e-2, atol=1e-3)
+        for b, m, c in [(0, 5, 0), (1, 11, 1)]:
+            yp = y.at[b, m, c].add(eps)
+            ym = y.at[b, m, c].add(-eps)
+            num = (loss(x, yp) - loss(x, ym)) / (2 * eps)
+            np.testing.assert_allclose(gy[b, m, c], num, rtol=2e-2, atol=1e-3)
+
+    def test_default_reduction(self):
+        x = RNG.standard_normal((4, 30, 3)).astype(np.float32)
+        y = RNG.standard_normal((4, 30, 3)).astype(np.float32)
+        got = ops.chamfer_distance_default(jnp.array(x), jnp.array(y))
+        fwd, _ = brute_nn(x, y)
+        bwd, _ = brute_nn(y, x)
+        want = (fwd.sum(-1) + bwd.sum(-1)).mean()
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4)
+
+
+class TestFPS:
+    def brute_fps(self, xyz, npoint, mask=None):
+        N = xyz.shape[0]
+        if mask is None:
+            mask = np.ones(N, bool)
+        dist = np.where(mask, 1e10, -1e10)
+        farthest = int(np.argmax(mask))
+        out = []
+        for _ in range(npoint):
+            out.append(farthest)
+            d = ((xyz - xyz[farthest]) ** 2).sum(-1)
+            d = np.where(mask, d, -1e10)
+            dist = np.minimum(dist, d)
+            farthest = int(np.argmax(dist))
+        return np.array(out)
+
+    def test_matches_bruteforce(self):
+        xyz = RNG.standard_normal((2, 64, 3)).astype(np.float32)
+        idx = np.asarray(ops.farthest_point_sample(jnp.array(xyz), 16))
+        for b in range(2):
+            np.testing.assert_array_equal(idx[b], self.brute_fps(xyz[b], 16))
+
+    def test_masked(self):
+        xyz = RNG.standard_normal((1, 64, 3)).astype(np.float32)
+        mask = np.zeros((1, 64), bool)
+        mask[0, 10:40] = True
+        idx = np.asarray(ops.farthest_point_sample(jnp.array(xyz), 8, jnp.array(mask)))
+        assert ((idx >= 10) & (idx < 40)).all()
+        np.testing.assert_array_equal(idx[0], self.brute_fps(xyz[0], 8, mask[0]))
+
+    def test_starts_at_first_point(self):
+        xyz = RNG.standard_normal((3, 32, 3)).astype(np.float32)
+        idx = np.asarray(ops.farthest_point_sample(jnp.array(xyz), 4))
+        assert (idx[:, 0] == 0).all()
+
+
+class TestBallQuery:
+    def test_matches_reference_semantics(self):
+        # reference keeps the nsample LOWEST-INDEX in-radius points, backfilled by first hit
+        xyz = RNG.standard_normal((2, 40, 3)).astype(np.float32)
+        new_xyz = xyz[:, :10]
+        radius, k = 0.8, 6
+        got = np.asarray(ops.query_ball_point(radius, k, jnp.array(xyz), jnp.array(new_xyz)))
+        for b in range(2):
+            for s in range(10):
+                d = ((xyz[b] - new_xyz[b, s]) ** 2).sum(-1)
+                hits = np.where(d <= radius**2)[0]
+                want = list(hits[:k])
+                if len(want) == 0:
+                    want = [0] * k
+                while len(want) < k:
+                    want.append(want[0])
+                np.testing.assert_array_equal(got[b, s], np.array(want))
+
+
+class TestKNN:
+    def test_matches_bruteforce(self):
+        q = RNG.standard_normal((2, 15, 3)).astype(np.float32)
+        p = RNG.standard_normal((2, 30, 3)).astype(np.float32)
+        d, idx = ops.knn_points(jnp.array(q), jnp.array(p), 4)
+        bd = ((q[:, :, None] - p[:, None]) ** 2).sum(-1)
+        order = np.argsort(bd, axis=-1, kind="stable")[..., :4]
+        np.testing.assert_allclose(
+            np.asarray(d), np.take_along_axis(bd, order, -1), atol=1e-4
+        )
+        # indices may tie-swap; distances are canonical. check sets on a few rows
+        assert set(np.asarray(idx)[0, 0].tolist()) == set(order[0, 0].tolist())
+
+
+class TestNormals:
+    def test_plane_normals(self):
+        # points on the z=0 plane -> normals +-z
+        pts = RNG.standard_normal((1, 200, 3)).astype(np.float32)
+        pts[..., 2] = 0.0
+        n = np.asarray(ops.estimate_pointcloud_normals(jnp.array(pts), 20))
+        np.testing.assert_allclose(np.abs(n[..., 2]), 1.0, atol=1e-4)
+        np.testing.assert_allclose(n[..., :2], 0.0, atol=1e-4)
+
+    def test_sphere_normals_point_inward(self):
+        # disambiguation flips toward the neighborhood majority (center of a sphere patch)
+        u = RNG.standard_normal((1, 500, 3))
+        sphere = (u / np.linalg.norm(u, axis=-1, keepdims=True)).astype(np.float32)
+        n = np.asarray(ops.estimate_pointcloud_normals(jnp.array(sphere), 20))
+        cosang = np.sum(n * sphere, axis=-1)
+        # radial alignment, consistent inward orientation
+        assert (np.abs(cosang) > 0.95).mean() > 0.98
+        assert (cosang < 0).mean() > 0.95
+
+
+class TestGrouping:
+    def test_sample_and_group_shapes(self):
+        xyz = jnp.array(RNG.standard_normal((2, 128, 3)).astype(np.float32))
+        feats = jnp.array(RNG.standard_normal((2, 128, 8)).astype(np.float32))
+        fps_idx = ops.farthest_point_sample(xyz, 32)
+        new_xyz, new_pts = ops.sample_and_group(32, 0.4, 16, xyz, feats, fps_idx)
+        assert new_xyz.shape == (2, 32, 3)
+        assert new_pts.shape == (2, 32, 16, 11)
+        # grouped coords are recentered: center point itself appears as ~0 offset
+        new_xyz2, new_pts2 = ops.sample_and_group(32, 100.0, 16, xyz, None, fps_idx)
+        assert np.abs(np.asarray(new_pts2)).max() < 200.0

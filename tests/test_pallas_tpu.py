@@ -1,0 +1,34 @@
+"""Pallas-kernel vs XLA-oracle parity on a real TPU (skipped on CPU CI)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu_only
+
+RNG = np.random.default_rng(3)
+
+
+def test_nn_distance_pallas_parity():
+    from puzzlefusion_plusplus_tpu.ops.chamfer import _nn_distance_xla
+    from puzzlefusion_plusplus_tpu.ops.chamfer_pallas import nn_distance_pallas
+
+    x = jnp.array(RNG.standard_normal((4, 1000, 3)).astype(np.float32))
+    y = jnp.array(RNG.standard_normal((4, 777, 3)).astype(np.float32))
+    d1, i1 = _nn_distance_xla(x, y)
+    d2, i2 = nn_distance_pallas(x, y)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_fps_pallas_parity():
+    from puzzlefusion_plusplus_tpu.ops.fps import (
+        farthest_point_sample_pallas,
+        farthest_point_sample_xla,
+    )
+
+    xyz = jnp.array(RNG.standard_normal((2, 4096, 3)).astype(np.float32))
+    mask = jnp.array(RNG.random((2, 4096)) > 0.3)
+    f1 = farthest_point_sample_xla(xyz, 128, mask)
+    f2 = farthest_point_sample_pallas(xyz, 128, mask)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
