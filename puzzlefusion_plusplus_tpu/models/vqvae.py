@@ -1,0 +1,171 @@
+"""VQ-VAE fragment autoencoder (flax.linen), TPU-first fixed-shape design.
+
+Capability parity with the reference VQ-VAE stack:
+  * ``PointNetSetAbstraction`` — one SSG set-abstraction stage (utils/pn2_utils.py:175-216):
+    FPS -> ball query -> recentered grouping -> shared MLP (1x1 conv == Dense) + BatchNorm +
+    ReLU -> max over the neighborhood. Here grouping is dense/static-shape and the MLP runs as
+    [B, S, K, C] matmuls on the MXU.
+  * ``PN2`` — 3-stage encoder to 25 tokens x 64 dims + 3-layer FC decoder emitting 25x40x3 point
+    offsets (vqvae/model/modules/pn2.py:8-97).
+  * ``VectorQuantizer`` — 1024x16 codebook, expanded-L2 nearest code, straight-through estimator,
+    commitment beta, perplexity (vqvae/model/modules/quantizer.py:26-71).
+  * ``VQVAE`` — encode: z_e [B,25,64] viewed as [B,100,16] for quantization; decode: offsets
+    around the 25 SA3 centroids (vqvae/model/modules/vq_vae.py:23-88).
+
+Input layout is [B, N, 3] throughout (no torch-style channel-first permutes).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from puzzlefusion_plusplus_tpu.ops.fps import farthest_point_sample
+from puzzlefusion_plusplus_tpu.ops.grouping import sample_and_group
+
+
+class PointNetSetAbstraction(nn.Module):
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xyz, points, train: bool = False):
+        """xyz: [B, N, 3], points: [B, N, D] or None -> (new_xyz [B, S, 3], feats [B, S, C])."""
+        fps_idx = farthest_point_sample(xyz, self.npoint)
+        new_xyz, grouped = sample_and_group(
+            self.npoint, self.radius, self.nsample, xyz, points, fps_idx
+        )  # grouped: [B, S, K, 3+D]
+        h = grouped
+        for i, ch in enumerate(self.mlp):
+            h = nn.Dense(ch, name=f"conv{i}")(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"bn{i}"
+            )(h)
+            h = nn.relu(h)
+        feats = h.max(axis=2)  # max over neighborhood K
+        return new_xyz, feats
+
+
+class PN2(nn.Module):
+    """PointNet++ SSG encoder + FC offset decoder (reference pn2.py)."""
+
+    num_point: int = 25  # latent tokens
+    num_dim: int = 64  # latent channel
+    local_decode_pts: int = 40
+
+    def setup(self):
+        self.sa1 = PointNetSetAbstraction(256, 0.2, 32, (64, 64, 128))
+        self.sa2 = PointNetSetAbstraction(128, 0.4, 64, (128, 128, 256))
+        self.sa3 = PointNetSetAbstraction(self.num_point, 0.8, 64, (256, 256, 512))
+        self.conv6 = nn.Dense(self.num_dim)
+        self.fc1 = nn.Dense(256)
+        self.fc2 = nn.Dense(512)
+        self.fc3 = nn.Dense(self.local_decode_pts * 3)
+
+    def encode(self, xyz, train: bool = False):
+        """xyz: [B, N, 3] -> (z_e [B, L, num_dim], token centers [B, L, 3])."""
+        l1_xyz, l1_points = self.sa1(xyz, None, train)
+        l2_xyz, l2_points = self.sa2(l1_xyz, l1_points, train)
+        l3_xyz, l3_points = self.sa3(l2_xyz, l2_points, train)
+        return self.conv6(l3_points), l3_xyz
+
+    def decode(self, global_feat):
+        """[B, L, C] -> per-token point offsets [B, L, local_decode_pts, 3]."""
+        B = global_feat.shape[0]
+        x = nn.relu(self.fc1(global_feat))
+        x = nn.relu(self.fc2(x))
+        return self.fc3(x).reshape(B, self.num_point, self.local_decode_pts, 3)
+
+    def __call__(self, xyz, train: bool = False):
+        z_e, l3_xyz = self.encode(xyz, train)
+        return self.decode(z_e), z_e, l3_xyz
+
+
+class VectorQuantizer(nn.Module):
+    n_e: int = 1024
+    e_dim: int = 16
+    beta: float = 0.25
+
+    @nn.compact
+    def __call__(self, z):
+        """z: [B, T, e_dim] -> (embedding_loss, z_q (STE), perplexity, code indices [B, T])."""
+        codebook = self.param(
+            "embedding",
+            lambda key: jax.random.uniform(
+                key, (self.n_e, self.e_dim), minval=-1.0 / self.n_e, maxval=1.0 / self.n_e
+            ),
+        )
+        flat = z.reshape(-1, self.e_dim)
+        d = (
+            jnp.sum(flat**2, axis=1, keepdims=True)
+            + jnp.sum(codebook**2, axis=1)
+            - 2.0 * flat @ codebook.T
+        )
+        idx = jnp.argmin(d, axis=1)
+        z_q = codebook[idx].reshape(z.shape)
+
+        loss = jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2) + self.beta * jnp.mean(
+            (z_q - jax.lax.stop_gradient(z)) ** 2
+        )
+        z_q = z + jax.lax.stop_gradient(z_q - z)  # straight-through
+
+        e_mean = jnp.mean(jax.nn.one_hot(idx, self.n_e), axis=0)
+        perplexity = jnp.exp(-jnp.sum(e_mean * jnp.log(e_mean + 1e-10)))
+        return loss, z_q, perplexity, idx.reshape(z.shape[:-1])
+
+
+class VQVAE(nn.Module):
+    """Full autoencoder; also the frozen feature extractor used by the denoiser
+    (denoiser/model/modules/encoder.py — same encode path, decoder simply unused)."""
+
+    n_embeddings: int = 1024
+    embedding_dim: int = 16
+    num_point: int = 25
+    num_dim: int = 64
+    local_decode_pts: int = 40
+    beta: float = 0.25
+
+    def setup(self):
+        self.pn2 = PN2(self.num_point, self.num_dim, self.local_decode_pts)
+        self.vector_quantization = VectorQuantizer(
+            self.n_embeddings, self.embedding_dim, self.beta
+        )
+
+    def encode(self, part_pcs, train: bool = False):
+        """part_pcs: [B, N, 3] -> dict(z_q [B, L, num_dim], xyz [B, L, 3])."""
+        z_e, xyz = self.pn2.encode(part_pcs, train)
+        B, L, _ = z_e.shape
+        _, z_q, _, _ = self.vector_quantization(z_e.reshape(B, 4 * L, -1))
+        return {"z_q": z_q.reshape(B, L, -1), "xyz": xyz}
+
+    def decode(self, z_q):
+        return self.pn2.decode(z_q)
+
+    def __call__(self, part_pcs, train: bool = False):
+        """part_pcs: [B, N, 3] -> dict with reconstruction offsets + quantizer stats."""
+        z_e, xyz = self.pn2.encode(part_pcs, train)
+        B, L, _ = z_e.shape
+        embedding_loss, z_q, perplexity, code_idx = self.vector_quantization(
+            z_e.reshape(B, 4 * L, -1)
+        )
+        z_q = z_q.reshape(B, L, -1)
+        x_hat = self.pn2.decode(z_q)
+        return {
+            "embedding_loss": embedding_loss,
+            "pc_offset": x_hat,  # [B, L, local_decode_pts, 3]
+            "perplexity": perplexity,
+            "xyz": xyz,  # [B, L, 3]
+            "z_q": z_q,
+            "code_idx": code_idx,
+        }
+
+    def reconstruction(self, out: dict) -> jnp.ndarray:
+        """Offsets + token centers -> [B, L*local_decode_pts, 3] reconstructed cloud."""
+        pc = out["pc_offset"] + out["xyz"][:, :, None, :]
+        B = pc.shape[0]
+        return pc.reshape(B, self.num_point * self.local_decode_pts, 3)
