@@ -1,0 +1,325 @@
+"""Synthetic Breaking-Bad-style fixture generator.
+
+The real Breaking Bad dataset (meshes) and the released Jigsaw matching artifacts are external
+downloads in the reference (docs/data_preparation.md). For hermetic tests/benchmarks we generate
+synthetic fractured shapes with the exact same .npz schemas the reference pipeline produces and
+consumes:
+
+  * ``pc_data`` shape files (generate_pc_data.py:31-41): data_id, part_valids [20], num_parts,
+    mesh_file_path, graph [20, 20], category, part_pcs_gt [20, 1000, 3], ref_part [20].
+  * ``matching_data`` files (Jigsaw_matching/model/modules/matching_base_model.py:614-640):
+    edges [E, 2], correspondence (per-edge [K, 2] local critical-point index pairs), gt_pcs
+    [N_sum, 3] area-sampled cloud, critical_pcs_idx [N_sum], n_pcs [P], n_critical_pcs [P].
+  * ``verifier_data`` files (verifier/dataset/dataset.py:50-53): cls_gt [E], edge_features
+    [E, 6] CD-histogram counts, edge_indices [E, 2].
+
+Fracture model: a dense solid point cloud (ellipsoid / box / cylinder) partitioned into Voronoi
+cells around jittered seed points — fragments share true contact surfaces, so fracture-surface
+correspondences and chamfer-histogram verifier features behave like the real data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+CD_BIN_EDGES = np.array([0.0, 1e-3, 5e-3, 1e-2, 5e-2, 1e-1, 100.0])
+
+
+def _sample_solid(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Dense points filling a random solid, max extent ~[-0.5, 0.5]."""
+    kind = rng.integers(0, 3)
+    pts = rng.uniform(-0.5, 0.5, size=(int(n * 2.2), 3))
+    if kind == 0:  # ellipsoid
+        radii = rng.uniform(0.25, 0.5, size=3)
+        pts = pts[np.sum((pts / radii) ** 2, axis=1) <= 1.0]
+    elif kind == 1:  # box
+        half = rng.uniform(0.2, 0.5, size=3)
+        pts = pts * (2.0 * half)
+    else:  # cylinder along z
+        r = rng.uniform(0.2, 0.45)
+        h = rng.uniform(0.25, 0.5)
+        keep = (pts[:, 0] ** 2 + pts[:, 1] ** 2 <= r * r) & (np.abs(pts[:, 2]) <= h)
+        pts = pts[keep]
+    return pts[:n] if len(pts) >= n else np.concatenate([pts, pts[: n - len(pts)]])
+
+
+def _resample(pts: np.ndarray, n: int, rng: np.random.Generator) -> np.ndarray:
+    idx = rng.choice(len(pts), n, replace=len(pts) < n)
+    return pts[idx]
+
+
+def fracture_shape(
+    rng: np.random.Generator,
+    num_parts: int,
+    n_points: int = 1000,
+    n_dense: int = 20000,
+) -> dict:
+    """Voronoi-fracture a random solid into ``num_parts`` fragments.
+
+    Returns dense per-fragment point sets + adjacency graph + reference part (largest extent, as
+    in reference vqvae/dataset/dataset.py:200-204).
+    """
+    for _ in range(20):  # rejection loop: every fragment must have enough dense points
+        dense = _sample_solid(rng, n_dense)
+        seeds = dense[rng.choice(len(dense), num_parts, replace=False)]
+        seeds = seeds + rng.normal(0, 0.02, seeds.shape)
+        d = np.linalg.norm(dense[:, None, :] - seeds[None], axis=-1)  # [n, P]
+        label = np.argmin(d, axis=1)
+        counts = np.bincount(label, minlength=num_parts)
+        if counts.min() >= max(60, n_points // 10):
+            break
+    dense_parts = [dense[label == i] for i in range(num_parts)]
+
+    # adjacency: fragments whose dense sets come within the typical sampling spacing
+    spacing = 1.0 / (n_dense ** (1.0 / 3.0)) * 3.0
+    graph = np.zeros((num_parts, num_parts), dtype=bool)
+    for i in range(num_parts):
+        for j in range(i + 1, num_parts):
+            a = dense_parts[i][:: max(1, len(dense_parts[i]) // 400)]
+            b = dense_parts[j][:: max(1, len(dense_parts[j]) // 400)]
+            mind = np.min(
+                np.linalg.norm(a[:, None, :] - b[None], axis=-1)
+            )
+            graph[i, j] = graph[j, i] = mind < spacing
+
+    part_pcs = np.stack([_resample(p, n_points, rng) for p in dense_parts])  # [P, N, 3]
+
+    extents = np.array([p.max(0) - p.min(0) for p in dense_parts]).max(axis=1)
+    ref_part = np.zeros(num_parts, dtype=bool)
+    ref_part[np.argmax(extents)] = True
+
+    return {
+        "dense_parts": dense_parts,
+        "part_pcs_gt": part_pcs.astype(np.float32),
+        "graph": graph,
+        "ref_part": ref_part,
+        "num_parts": num_parts,
+    }
+
+
+def _pad(data: np.ndarray, max_p: int) -> np.ndarray:
+    out = np.zeros((max_p,) + data.shape[1:], dtype=np.float32)
+    out[: data.shape[0]] = data
+    return out
+
+
+def make_pc_data_npz(shape: dict, data_id: int, max_num_part: int = 20) -> dict:
+    """Assemble the pc_data .npz field dict (generate_pc_data.py:31-41 schema)."""
+    P = shape["num_parts"]
+    part_valids = np.zeros(max_num_part, np.float32)
+    part_valids[:P] = 1
+    return {
+        "data_id": data_id,
+        "part_valids": part_valids,
+        "num_parts": P,
+        "mesh_file_path": f"synthetic/{data_id:05d}",
+        "graph": _pad_square(shape["graph"], max_num_part),
+        "category": "synthetic",
+        "part_pcs_gt": _pad(shape["part_pcs_gt"], max_num_part),
+        "ref_part": _pad(shape["ref_part"].astype(np.float32), max_num_part).astype(bool),
+    }
+
+
+def _pad_square(g: np.ndarray, max_p: int) -> np.ndarray:
+    out = np.zeros((max_p, max_p), dtype=g.dtype)
+    out[: g.shape[0], : g.shape[1]] = g
+    return out
+
+
+def make_matching_data_npz(
+    shape: dict,
+    rng: np.random.Generator,
+    total_area_points: int = 5000,
+    contact_threshold: float = 0.04,
+    max_corr: int = 128,
+) -> dict:
+    """Synthetic Jigsaw matching artifact (matching_base_model.py:614-640 schema).
+
+    Area sampling is count-proportional with a min of 30 points/fragment
+    (all_piece_matching_dataset.py:164-193); critical points are points near another fragment;
+    correspondences are nearest-neighbor pairs across each contact within the threshold.
+    """
+    P = shape["num_parts"]
+    dense_parts = shape["dense_parts"]
+    counts = np.array([len(p) for p in dense_parts], dtype=np.float64)
+    n_pcs = np.maximum(30, (counts / counts.sum() * total_area_points).astype(np.int64))
+    while n_pcs.sum() > total_area_points:
+        n_pcs[np.argmax(n_pcs)] -= 1
+
+    area_parts = [_resample(dense_parts[i], int(n_pcs[i]), rng) for i in range(P)]
+    gt_pcs = np.concatenate(area_parts, axis=0).astype(np.float32)
+
+    # critical points: within contact_threshold of any adjacent fragment's area points
+    critical_local_idx = []
+    n_critical = np.zeros(P, dtype=np.int64)
+    for i in range(P):
+        near = np.zeros(len(area_parts[i]), dtype=bool)
+        for j in range(P):
+            if i == j or not shape["graph"][i, j]:
+                continue
+            dij = np.linalg.norm(
+                area_parts[i][:, None, :] - area_parts[j][None], axis=-1
+            ).min(axis=1)
+            near |= dij < contact_threshold
+        idx = np.where(near)[0]
+        critical_local_idx.append(idx)
+        n_critical[i] = len(idx)
+
+    # flat critical_pcs_idx: per part, local indices at offset prefix(n_pcs) (dataset.py:55-79)
+    critical_pcs_idx = np.zeros(int(n_pcs.sum()), dtype=np.int64)
+    off = 0
+    for i in range(P):
+        critical_pcs_idx[off : off + n_critical[i]] = critical_local_idx[i]
+        off += int(n_pcs[i])
+
+    # edges both directions per adjacent pair + NN correspondences between critical sets
+    edges, corrs = [], []
+    for i in range(P):
+        for j in range(P):
+            if i >= j or not shape["graph"][i, j]:
+                continue
+            ci = area_parts[i][critical_local_idx[i]]
+            cj = area_parts[j][critical_local_idx[j]]
+            if len(ci) == 0 or len(cj) == 0:
+                continue
+            d = np.linalg.norm(ci[:, None, :] - cj[None], axis=-1)
+            nn_j = np.argmin(d, axis=1)
+            keep = d[np.arange(len(ci)), nn_j] < contact_threshold
+            src = np.where(keep)[0]
+            if len(src) == 0:
+                continue
+            if len(src) > max_corr:
+                src = rng.choice(src, max_corr, replace=False)
+            pair = np.stack([src, nn_j[src]], axis=1).astype(np.int64)  # [K, 2]
+            # store (larger, smaller) so the upper-triangle read in the agglomeration loop
+            # (auto_aggl.py:185-193: writes [edges[i,1], edges[i,0]]) sees the features
+            edges.append([j, i])
+            corrs.append(pair)
+            edges.append([i, j])
+            corrs.append(pair[:, ::-1].copy())
+
+    return {
+        "edges": np.asarray(edges, dtype=np.int64).reshape(-1, 2),
+        "correspondence": np.asarray(corrs, dtype=object),
+        "gt_pcs": gt_pcs,
+        "critical_pcs_idx": critical_pcs_idx,
+        "n_pcs": n_pcs,
+        "n_critical_pcs": n_critical,
+    }
+
+
+def cd_histogram(src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
+    """Per-point bidirectional squared-NN-distance histogram -> 6 bin counts.
+
+    Mirrors auto_aggl.py:184-193 + _make_cd_to_bins:385-389: chamferdist with
+    point_reduction=None on equal-length sets returns index-aligned fwd+bwd per-point sums;
+    bucketize(right=True) against [0, 1e-3, 5e-3, 1e-2, 5e-2, 1e-1, 100], keep bins 1..6.
+    """
+    if len(src) == 0:
+        return np.zeros(6, np.int64)
+    d = np.sum((src[:, None, :] - tgt[None]) ** 2, axis=-1)
+    per_point = d.min(axis=1) + d.min(axis=0)  # equal K: index-aligned sum
+    bin_idx = np.searchsorted(CD_BIN_EDGES, per_point, side="left")
+    counts = np.bincount(bin_idx, minlength=8)
+    return counts[1:7]
+
+
+def make_verifier_data_npz(
+    shape: dict, matching: dict, rng: np.random.Generator
+) -> dict:
+    """Synthetic verifier training sample (verifier/dataset/dataset.py:50-53 schema).
+
+    For every matching edge, poses the two fragments either consistently (near-GT relative pose,
+    label 1) or with a random relative perturbation (label 0), and records the CD histogram of
+    the matched correspondence points under those poses.
+    """
+    n_pcs = matching["n_pcs"]
+    offsets = np.concatenate([[0], np.cumsum(n_pcs)])
+    gt_pcs = matching["gt_pcs"]
+    edges = matching["edges"]
+    corrs = matching["correspondence"]
+    n_critical = matching["n_critical_pcs"]
+    critical_idx = matching["critical_pcs_idx"]
+
+    seen = set()
+    cls_gt, edge_features, edge_indices = [], [], []
+    for e in range(len(edges)):
+        # corr[:, 0] indexes the critical set of edges[e, 1]; corr[:, 1] that of edges[e, 0]
+        # (reference auto_aggl.py:185-193 / node_merge_utils.py:62-89 argument order)
+        b, a = int(edges[e, 0]), int(edges[e, 1])
+        lo, hi = min(a, b), max(a, b)
+        if (lo, hi) in seen:
+            continue
+        seen.add((lo, hi))
+        pc_a = gt_pcs[offsets[a] : offsets[a + 1]]
+        pc_b = gt_pcs[offsets[b] : offsets[b + 1]]
+        crit_a = pc_a[critical_idx[offsets[a] : offsets[a] + n_critical[a]]]
+        crit_b = pc_b[critical_idx[offsets[b] : offsets[b] + n_critical[b]]]
+        corr = np.asarray(corrs[e]).astype(np.int64).reshape(-1, 2)
+        src = crit_a[corr[:, 0]]
+        tgt = crit_b[corr[:, 1]]
+        positive = rng.random() < 0.5
+        if positive:
+            jitter = rng.normal(0, 2e-3, size=3)
+            tgt_posed = tgt + jitter
+        else:
+            angle = rng.uniform(0.3, np.pi)
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            K = np.array(
+                [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+            )
+            rot = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K
+            tgt_posed = tgt @ rot.T + rng.normal(0, 0.2, size=3)
+        cls_gt.append(1 if positive else 0)
+        edge_features.append(cd_histogram(src, tgt_posed))
+        edge_indices.append([lo, hi])
+
+    return {
+        "cls_gt": np.asarray(cls_gt, np.int64),
+        "edge_features": np.asarray(edge_features, np.float32).reshape(-1, 6),
+        "edge_indices": np.asarray(edge_indices, np.int64).reshape(-1, 2),
+    }
+
+
+def generate_dataset(
+    out_dir: str,
+    num_shapes: int = 32,
+    seed: int = 0,
+    min_parts: int = 2,
+    max_parts: int = 8,
+    n_points: int = 1000,
+    with_matching: bool = True,
+    with_verifier: bool = True,
+    split: str = "train",
+) -> None:
+    """Write a full synthetic dataset tree: pc_data/{split}, matching_data, verifier_data."""
+    pc_dir = os.path.join(out_dir, "pc_data", split)
+    match_dir = os.path.join(out_dir, "matching_data")
+    verif_dir = os.path.join(out_dir, "verifier_data")
+    os.makedirs(pc_dir, exist_ok=True)
+    if with_matching:
+        os.makedirs(match_dir, exist_ok=True)
+    if with_verifier:
+        os.makedirs(verif_dir, exist_ok=True)
+
+    rng = np.random.default_rng((seed, hash(split) % (2**31)))
+    base = 0 if split == "train" else 10_000
+    for s in range(num_shapes):
+        data_id = base + s
+        num_parts = int(rng.integers(min_parts, max_parts + 1))
+        shape = fracture_shape(rng, num_parts, n_points=n_points)
+        np.savez(
+            os.path.join(pc_dir, f"{data_id:05d}.npz"), **make_pc_data_npz(shape, data_id)
+        )
+        if with_matching or with_verifier:
+            matching = make_matching_data_npz(shape, rng)
+        if with_matching:
+            np.savez(os.path.join(match_dir, f"{data_id}.npz"), **matching)
+        if with_verifier:
+            np.savez(
+                os.path.join(verif_dir, f"{data_id:05d}.npz"),
+                **make_verifier_data_npz(shape, matching, rng),
+            )

@@ -1,0 +1,136 @@
+"""Data pipeline tests: synthetic generator schemas, dataset readers, augmentation invariants."""
+
+import numpy as np
+import pytest
+
+from puzzlefusion_plusplus_tpu.data import (
+    DenoiserDataset,
+    Loader,
+    VerifierDataset,
+    VQVAEDataset,
+    generate_dataset,
+)
+from puzzlefusion_plusplus_tpu.data.synthetic import cd_histogram, fracture_shape
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    generate_dataset(root, num_shapes=4, seed=0, split="train")
+    generate_dataset(root, num_shapes=3, seed=1, split="val")
+    return root
+
+
+def test_fracture_shape_structure():
+    rng = np.random.default_rng(0)
+    s = fracture_shape(rng, num_parts=5)
+    assert s["part_pcs_gt"].shape == (5, 1000, 3)
+    assert s["graph"].shape == (5, 5)
+    assert np.array_equal(s["graph"], s["graph"].T) and not s["graph"].diagonal().any()
+    # fracture graph of a Voronoi partition must be connected
+    reach = np.linalg.matrix_power(s["graph"].astype(int) + np.eye(5, dtype=int), 5)
+    assert (reach > 0).all()
+    assert s["ref_part"].sum() == 1
+
+
+def test_cd_histogram_semantics():
+    src = np.zeros((10, 3))
+    tgt = np.zeros((10, 3))
+    h = cd_histogram(src, tgt)  # all distances exactly 0 -> left edge is bin 0, dropped
+    assert h.sum() == 0
+    tgt2 = tgt + 1e-3  # squared dist 3e-6 per direction, summed 6e-6 -> bin (1e-3, 5e-3]? no:
+    h2 = cd_histogram(src, tgt2)  # 6e-6 falls in (0, 1e-3] -> first kept bin
+    assert h2[0] == 10 and h2[1:].sum() == 0
+    far = tgt + 100.0
+    assert cd_histogram(src, far).sum() == 0  # beyond last edge -> dropped
+
+
+def test_vqvae_dataset(data_root):
+    ds = VQVAEDataset(data_root + "/pc_data/train")
+    rng = np.random.default_rng(0)
+    it = ds.get(0, rng)
+    P = int(it["num_parts"])
+    assert it["part_pcs"].shape == (20, 1000, 3)
+    # normalized to [-1, 1] with max-abs exactly 1 per shape... per part
+    for i in range(P):
+        assert np.abs(it["part_pcs"][i]).max() == pytest.approx(1.0, abs=1e-5)
+    assert np.abs(it["part_pcs"][P:]).max() == 0  # padded parts zero
+
+
+def test_denoiser_dataset_pose_roundtrip(data_root):
+    ds = DenoiserDataset(data_root + "/pc_data/train", mode="train", multiple_ref_parts=False)
+    rng = np.random.default_rng(0)
+    it = ds.get(0, rng)
+    P = int(it["num_parts"])
+    from scipy.spatial.transform import Rotation as R
+
+    # applying the GT pose to the scaled local cloud must re-assemble the rotated shape:
+    # per-part point sets posed by (trans, quat) should tile the recentred whole
+    posed = []
+    for i in range(P):
+        pc = it["part_pcs"][i] * it["part_scale"][i]
+        q = it["part_rots"][i]
+        rot = R.from_quat(q[[1, 2, 3, 0]])
+        posed.append(rot.apply(pc) + it["part_trans"][i])
+    posed = np.concatenate(posed)
+    # reference part sits at origin
+    ref = int(np.where(it["ref_part"][:P])[0][0])
+    pc_ref = it["part_pcs"][ref] * it["part_scale"][ref]
+    q = it["part_rots"][ref]
+    center = (R.from_quat(q[[1, 2, 3, 0]]).apply(pc_ref) + it["part_trans"][ref]).mean(0)
+    assert np.abs(center).max() < 1e-4
+    # shape stays within the original bounding scale
+    assert np.abs(posed).max() < 2.0
+
+
+def test_denoiser_test_mode_dense_matching(data_root):
+    ds = DenoiserDataset(
+        data_root + "/pc_data/val", mode="test",
+        matching_data_path=data_root + "/matching_data",
+    )
+    assert len(ds) > 0
+    rng = np.random.default_rng(0)
+    it = ds.get(0, rng)
+    P = int(it["num_parts"])
+    E = int(it["match_edge_valid"].sum())
+    assert E > 0
+    # corr indices stay within each part's area point count
+    for e in range(E):
+        b, a = it["match_edges"][e]
+        k = it["corr_count"][e]
+        assert (it["corr_src"][e, :k] < it["n_area"][a]).all()
+        assert (it["corr_tgt"][e, :k] < it["n_area"][b]).all()
+    # at GT pose, matched points must be close: pose area points by GT and measure
+    from scipy.spatial.transform import Rotation as R
+
+    world = np.zeros_like(it["area_pts"])
+    for i in range(P):
+        n = it["n_area"][i]
+        rot = R.from_quat(it["part_rots"][i][[1, 2, 3, 0]])
+        world[i, :n] = rot.apply(it["area_pts"][i, :n]) + it["part_trans"][i]
+    e = 0
+    b, a = it["match_edges"][e]
+    k = it["corr_count"][e]
+    src = world[a][it["corr_src"][e, :k]]
+    tgt = world[b][it["corr_tgt"][e, :k]]
+    assert np.linalg.norm(src - tgt, axis=-1).mean() < 0.06
+
+
+def test_verifier_dataset(data_root):
+    ds = VerifierDataset(data_root + "/verifier_data", mode="train")
+    rng = np.random.default_rng(0)
+    it = ds.get(0, rng)
+    assert it["edge_features"].shape == (190, 7)
+    ne = int(it["num_edges"])
+    rows = it["edge_features"][:ne]
+    nonzero = rows[:, 6] > 0
+    assert np.allclose(rows[nonzero, :6].sum(1), 1.0, atol=1e-5)  # row-normalized histograms
+
+
+def test_loader_determinism_and_shapes(data_root):
+    ds = VQVAEDataset(data_root + "/pc_data/train")
+    l1 = Loader(ds, batch_size=2, seed=7)
+    l2 = Loader(ds, batch_size=2, seed=7)
+    b1, b2 = next(iter(l1)), next(iter(l2))
+    np.testing.assert_array_equal(b1["part_pcs"], b2["part_pcs"])
+    assert b1["part_pcs"].shape == (2, 20, 1000, 3)
