@@ -1,0 +1,113 @@
+"""Benchmark: full auto-agglomerative denoise-verify inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric = assemblies/sec/chip on the full denoise-verify-merge loop (BASELINE.json north star)
+over synthetic Breaking-Bad-shaped fixtures at production shapes (P=20 pad, 1000-pt clouds,
+20 diffusion steps x 6 agglomeration iterations, verifier over 190 edges).
+
+``vs_baseline``: the reference publishes no throughput (BASELINE.md); its pipeline is
+hard-locked to batch-size-1 single-GPU Python loops (docs/test.md:8, auto_aggl.py host loop).
+We use the reference's per-assembly *algorithmic* step count executed sequentially at
+batch 1 as the comparison anchor: REFERENCE_CPU_ASSEMBLIES_PER_SEC below was measured by
+timing this repo's engine at batch=1 on one CPU host (the closest stand-in for the torch-CPU
+reference, whose CUDA-only deps cannot run here), cached after first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Measured once with `python bench.py --cpu-baseline` on the build host (batch=1 engine on CPU).
+REFERENCE_CPU_ASSEMBLIES_PER_SEC = 0.0385
+
+DATA_DIR = os.environ.get("PFPP_BENCH_DATA", "/tmp/pfpp_bench_data")
+BATCH = int(os.environ.get("PFPP_BENCH_BATCH", "8"))
+REPEATS = int(os.environ.get("PFPP_BENCH_REPEATS", "3"))
+
+
+def _ensure_data() -> None:
+    from puzzlefusion_plusplus_tpu.data import generate_dataset
+
+    marker = os.path.join(DATA_DIR, ".done")
+    if os.path.exists(marker):
+        return
+    generate_dataset(DATA_DIR, num_shapes=BATCH, seed=7, split="val",
+                     min_parts=3, max_parts=12)
+    open(marker, "w").write("ok")
+
+
+def main() -> None:
+    cpu_baseline_mode = "--cpu-baseline" in sys.argv
+    if cpu_baseline_mode:
+        jax.config.update("jax_platforms", "cpu")
+
+    _ensure_data()
+
+    from puzzlefusion_plusplus_tpu.data.datasets import DenoiserDataset
+    from puzzlefusion_plusplus_tpu.data.loader import Loader
+    from puzzlefusion_plusplus_tpu.inference.run import SAMPLE_KEYS, build_engine_fn
+    from puzzlefusion_plusplus_tpu.utils.config import Config
+
+    cfg = Config()
+    cfg.data.data_val_dir = os.path.join(DATA_DIR, "pc_data", "val")
+    cfg.data.matching_data_path = os.path.join(DATA_DIR, "matching_data")
+
+    batch_size = 1 if cpu_baseline_mode else BATCH
+    ds = DenoiserDataset(
+        cfg.data.data_val_dir, mode="test", matching_data_path=cfg.data.matching_data_path,
+        max_num_part=cfg.data.max_num_part,
+    )
+    loader = Loader(ds, batch_size, shuffle=False, drop_last=False, seed=0)
+    batch = next(iter(loader))
+    sample = {k: jnp.asarray(batch[k][:batch_size]) for k in SAMPLE_KEYS}
+    n = sample["part_pcs"].shape[0]
+
+    engine = build_engine_fn(cfg)
+    rngs = jax.random.split(jax.random.key(0), n)
+
+    # warmup / compile
+    t0 = time.time()
+    out = engine(sample, rngs)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    times = []
+    for r in range(REPEATS):
+        rngs = jax.random.split(jax.random.key(r + 1), n)
+        t0 = time.time()
+        out = engine(sample, rngs)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+
+    best = min(times)
+    assemblies_per_sec = n / best
+    iter_latency_p50 = float(np.median(times)) / (n * 6)  # per denoise-verify iteration
+
+    result = {
+        "metric": "assemblies_per_sec_per_chip",
+        "value": round(assemblies_per_sec, 4),
+        "unit": "assemblies/s",
+        "vs_baseline": round(assemblies_per_sec / REFERENCE_CPU_ASSEMBLIES_PER_SEC, 2),
+        "extra": {
+            "backend": jax.default_backend(),
+            "batch": n,
+            "compile_s": round(compile_s, 1),
+            "p50_denoise_verify_iter_latency_s": round(iter_latency_p50, 4),
+            "runs_s": [round(t, 3) for t in times],
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,15 @@ MAX_EDGES = 190  # 20 * 19 / 2
 
 def _pad(data: np.ndarray, n: int) -> np.ndarray:
     out = np.zeros((n,) + tuple(data.shape[1:]), dtype=np.float32)
-    out[: data.shape[0]] = data
+    m = min(n, data.shape[0])
+    out[:m] = data[:m]
+    return out
+
+
+def _pad_square(g: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros((n, n), dtype=g.dtype)
+    m = min(n, g.shape[0])
+    out[:m, :m] = g[:m, :m]
     return out
 
 
@@ -85,7 +93,7 @@ class VQVAEDataset:
         scale[scale == 0] = 1
         return {
             "part_pcs": (cur / scale).astype(np.float32),
-            "part_valids": s["part_valids"].astype(np.float32),
+            "part_valids": _pad(s["part_valids"][:, None], self.max_num_part)[:, 0],
             "num_parts": num_parts,
             "data_id": int(s["data_id"]),
         }
@@ -100,7 +108,7 @@ class DenoiserDataset:
         max_num_part: int = 20,
         multiple_ref_parts: bool = True,
         overfit: int = -1,
-        max_area_points_per_part: int = 5120,
+        max_area_points_per_part: int | None = None,
         max_corr: int = 128,
         max_edges_dense: int = 380,
     ):
@@ -125,6 +133,13 @@ class DenoiserDataset:
                 m = np.load(mfile, allow_pickle=True)
                 s["matching"] = {k: m[k] for k in m.files}
             self.data_list.append(s)
+        if mode == "test" and self.data_list:
+            # auto-size the per-part area pad to the dataset (rounded up to a lane multiple)
+            observed = max(int(s["matching"]["n_pcs"].max()) for s in self.data_list)
+            if self.A is None or self.A < observed:
+                self.A = -(-observed // 128) * 128
+        elif self.A is None:
+            self.A = 128
 
     def __len__(self):
         return len(self.data_list)
@@ -229,12 +244,13 @@ class DenoiserDataset:
         cur_quat = _pad(np.stack(cur_quat), self.max_num_part)
         cur_trans = _pad(np.stack(cur_trans), self.max_num_part)
 
+        P = self.max_num_part
         d = {
             "data_id": int(s["data_id"]),
             "num_parts": num_parts,
-            "part_valids": s["part_valids"].astype(np.float32),
-            "ref_part": ref_part.astype(bool),
-            "graph": s["graph"].astype(bool),
+            "part_valids": _pad(s["part_valids"][:, None], P)[:, 0],
+            "ref_part": _pad(ref_part.astype(np.float32)[:, None], P)[:, 0].astype(bool),
+            "graph": _pad_square(s["graph"].astype(np.float32), P).astype(bool),
             "mesh_file_path": str(s["mesh_file_path"]),
         }
 

@@ -1,0 +1,186 @@
+"""Full-pipeline inference entry (the reference's test.py + AutoAgglomerative test loop).
+
+Loads the three orbax checkpoints ({encoder, denoiser, verifier} — the schema replacing the
+reference's key-prefix state_dict splits, test.py:24-38), runs the jitted auto-agglomerative
+engine per test shape, computes part-acc / shape-CD / RMSE metrics, and writes the renderer
+artifact contract unchanged (auto_aggl.py:322-357): per-sample ``predict_{acc}.npy`` pose
+trajectory, ``gt.npy``, ``init_pose.npy``, ``mesh_file_path.txt``.
+
+TPU throughput: samples are vmapped/sharded into device batches (the reference is locked to
+batch size 1 on one GPU, docs/test.md:8); assemblies/sec scales with chips.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from puzzlefusion_plusplus_tpu.data import DenoiserDataset, Loader
+from puzzlefusion_plusplus_tpu.inference.engine import AgglConfig, auto_agglomerate
+from puzzlefusion_plusplus_tpu.inference.sampler import FrozenEncoder
+from puzzlefusion_plusplus_tpu.models.scheduler import DDPMParams
+from puzzlefusion_plusplus_tpu.training.denoiser import (
+    load_frozen_encoder,
+    make_model as make_denoiser_model,
+)
+from puzzlefusion_plusplus_tpu.training.state import load_model_params
+from puzzlefusion_plusplus_tpu.training.verifier import make_model as make_verifier_model
+from puzzlefusion_plusplus_tpu.utils.config import Config, config_from_argv
+from puzzlefusion_plusplus_tpu.utils.metrics import (
+    calc_part_acc,
+    calc_shape_cd,
+    rot_metrics,
+    trans_metrics,
+)
+
+SAMPLE_KEYS = (
+    "part_pcs", "part_trans", "part_rots", "part_scale", "part_valids", "ref_part",
+    "num_parts", "area_pts", "n_area", "match_edges", "match_edge_valid",
+    "corr_src", "corr_tgt", "corr_count",
+)
+
+
+def build_engine_fn(cfg: Config):
+    """Returns (jitted batched engine fn, models bundle)."""
+    denoiser = make_denoiser_model(cfg)
+    verifier = make_verifier_model(cfg)
+    encoder = load_frozen_encoder(cfg)
+    ddpm = DDPMParams.piecewise(cfg.denoiser.ddpm_train_steps)
+    acfg = AgglConfig(
+        max_iters=cfg.verifier.max_iters,
+        num_inference_steps=cfg.denoiser.num_inference_steps,
+        threshold=cfg.verifier.threshold,
+    )
+
+    if cfg.denoiser.ckpt_path:
+        den_params, _ = load_model_params(cfg.denoiser.ckpt_path)
+    else:
+        den_params = _init_denoiser_params(cfg, denoiser)
+    if cfg.verifier.ckpt_path:
+        ver_params, _ = load_model_params(cfg.verifier.ckpt_path)
+    else:
+        ver_params = _init_verifier_params(cfg, verifier)
+
+    def denoiser_apply(noisy, t, latent, xyz, valids, scale, ref):
+        return denoiser.apply(
+            {"params": den_params}, noisy, t, latent, xyz, valids, scale, ref, train=False
+        )
+
+    def verifier_apply(feats, indices, valids):
+        return verifier.apply({"params": ver_params}, feats, indices, valids, train=False)
+
+    def one_sample(sample, rng):
+        return auto_agglomerate(
+            denoiser_apply, verifier_apply, encoder, ddpm, sample, rng, acfg
+        )
+
+    @jax.jit
+    def engine_batch(batch, rngs):
+        out = jax.vmap(one_sample)(batch, rngs)
+        pts = batch["part_pcs"] * batch["part_scale"][..., None]  # original local clouds
+        gt_trans, gt_rots = batch["part_trans"], batch["part_rots"]
+        valids = batch["part_valids"]
+        acc, _, _ = calc_part_acc(
+            pts, out["pred_trans"], gt_trans, out["pred_rots"], gt_rots, valids
+        )
+        shape_cd = calc_shape_cd(
+            pts, out["pred_trans"], gt_trans, out["pred_rots"], gt_rots, valids
+        )
+        rmse_r = rot_metrics(out["pred_rots"], gt_rots, valids, "rmse")
+        rmse_t = trans_metrics(out["pred_trans"], gt_trans, valids, "rmse")
+        return {
+            "part_acc": acc, "shape_cd": shape_cd, "rmse_r": rmse_r, "rmse_t": rmse_t,
+            "trajectory": out["trajectory"],
+        }
+
+    return engine_batch
+
+
+def _init_denoiser_params(cfg, model):
+    P, L = cfg.data.max_num_part, cfg.denoiser.num_point
+    v = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, P, 7)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, P, L, cfg.denoiser.num_dim)), jnp.zeros((1, P, L, 3)),
+        jnp.ones((1, P)), jnp.ones((1, P, 1)), jnp.zeros((1, P), bool), train=False,
+    )
+    return v["params"]
+
+
+def _init_verifier_params(cfg, model):
+    E = cfg.data.max_num_part * (cfg.data.max_num_part - 1) // 2
+    v = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, E, cfg.verifier.num_features)), jnp.zeros((1, E, 2), jnp.int32),
+        jnp.ones((1, E)), train=False,
+    )
+    return v["params"]
+
+
+def save_inference_artifacts(out_dir: str, batch: dict, results: dict) -> None:
+    """Per-sample renderer artifacts, reference contract (auto_aggl.py:322-357)."""
+    B = results["part_acc"].shape[0]
+    traj = np.asarray(results["trajectory"])  # [B, T, P, 7]
+    for i in range(B):
+        data_id = int(batch["data_id"][i])
+        save_dir = os.path.join(out_dir, str(data_id))
+        os.makedirs(save_dir, exist_ok=True)
+        mask = np.asarray(batch["part_valids"][i]) == 1
+        acc = float(results["part_acc"][i])
+        np.save(os.path.join(save_dir, f"predict_{acc}.npy"), traj[i][:, mask])
+        gt = np.concatenate(
+            [np.asarray(batch["part_trans"][i]), np.asarray(batch["part_rots"][i])], -1
+        )[mask]
+        np.save(os.path.join(save_dir, "gt.npy"), gt)
+        init_pose = np.concatenate(
+            [np.asarray(batch["init_pose_t"][i]), np.asarray(batch["init_pose_r"][i])], -1
+        )
+        np.save(os.path.join(save_dir, "init_pose.npy"), init_pose)
+        mesh_path = batch["mesh_file_path"][i]
+        with open(os.path.join(save_dir, "mesh_file_path.txt"), "w") as f:
+            f.write(str(mesh_path))
+
+
+def run_inference(cfg: Config, max_batches: int | None = None) -> dict:
+    engine = build_engine_fn(cfg)
+    ds = DenoiserDataset(
+        cfg.data.data_val_dir, mode="test", matching_data_path=cfg.data.matching_data_path,
+        max_num_part=cfg.data.max_num_part, overfit=cfg.data.overfit,
+    )
+    loader = Loader(ds, cfg.inference.batch_size, shuffle=False, drop_last=False,
+                    seed=cfg.trainer.seed)
+    out_dir = os.path.join(
+        cfg.trainer.output_dir, cfg.trainer.experiment_name, "inference",
+        cfg.inference.inference_dir,
+    )
+    rng = jax.random.key(cfg.trainer.seed)
+    metrics: dict[str, list] = {"part_acc": [], "shape_cd": [], "rmse_r": [], "rmse_t": []}
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        sample = {k: jnp.asarray(batch[k]) for k in SAMPLE_KEYS}
+        rng, k = jax.random.split(rng)
+        rngs = jax.random.split(k, sample["part_pcs"].shape[0])
+        results = jax.device_get(engine(sample, rngs))
+        for name in metrics:
+            metrics[name].extend(np.asarray(results[name]).tolist())
+        if cfg.inference.save_trajectories:
+            save_inference_artifacts(out_dir, batch, results)
+    agg = {f"eval/{k}": float(np.mean(v)) for k, v in metrics.items() if v}
+    agg["num_samples"] = len(metrics["part_acc"])
+    return agg
+
+
+def main(argv=None):
+    cfg = config_from_argv(argv if argv is not None else sys.argv[1:])
+    agg = run_inference(cfg)
+    print(agg)
+
+
+if __name__ == "__main__":
+    main()

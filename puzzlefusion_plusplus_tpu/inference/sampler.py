@@ -1,0 +1,90 @@
+"""Reverse-diffusion sampling: frozen-encoder feature extraction + 20-step DDPM loop.
+
+The reference's hot inference path (denoiser.py:153-209 validation, auto_aggl.py:137-151):
+every reverse step re-encodes the rotated part clouds through the frozen VQ-VAE and runs the
+denoiser transformer. Here the whole loop is one ``lax.scan`` (SURVEY.md §7.1) so XLA pipelines
+encoder + transformer + scheduler into a single compiled program; the per-step trajectory is the
+scan's stacked output (the reference's ``all_pred_trans_rots`` recording).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from puzzlefusion_plusplus_tpu.models.scheduler import DDPMParams, step as ddpm_step
+from puzzlefusion_plusplus_tpu.utils.masking import (
+    compact_parts,
+    compaction_indices,
+    scatter_parts,
+)
+from puzzlefusion_plusplus_tpu.utils.transforms import quat_normalize, qrot
+
+
+class FrozenEncoder(NamedTuple):
+    """Frozen VQ-VAE encode closure (the reference's self.encoder, denoiser.py:37-77)."""
+
+    apply: Callable  # (part_pcs [M, N, 3]) -> {"z_q": [M, L, C], "xyz": [M, L, 3]}
+    num_point: int
+    num_dim: int
+
+
+def make_frozen_encoder(model, params, batch_stats) -> FrozenEncoder:
+    def apply(flat_pcs):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            flat_pcs,
+            train=False,
+            method=type(model).encode,
+        )
+
+    return FrozenEncoder(apply, model.num_point, model.num_dim)
+
+
+def extract_features(
+    encoder: FrozenEncoder,
+    part_pcs: jnp.ndarray,  # [B, P, N, 3]
+    part_valids: jnp.ndarray,  # [B, P]
+    noisy_trans_and_rots: jnp.ndarray,  # [B, P, 7]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotate clouds by the noisy quaternion, encode, scatter into dense [B, P, L, *]
+    (reference denoiser.py:55-77, fixed-shape via compaction instead of boolean gather)."""
+    B, P, N, _ = part_pcs.shape
+    quat = quat_normalize(noisy_trans_and_rots[..., 3:])
+    rotated = qrot(quat[:, :, None, :], part_pcs)
+    order, src, slot_valid = compaction_indices(part_valids)
+    flat = compact_parts(rotated, src).reshape(B * P, N, 3)
+    out = encoder.apply(flat)
+    z_q = out["z_q"].reshape(B, P, encoder.num_point, encoder.num_dim)
+    xyz = out["xyz"].reshape(B, P, encoder.num_point, 3)
+    latent = scatter_parts(z_q, order, slot_valid)
+    xyz = scatter_parts(xyz, order, slot_valid)
+    return latent, xyz
+
+
+def ddpm_sample(
+    denoise_fn: Callable,  # (noisy [B,P,7], t [B]) -> pred noise [B,P,7]
+    ddpm: DDPMParams,
+    timesteps: jnp.ndarray,  # [S] descending inference timesteps
+    init_noisy: jnp.ndarray,  # [B, P, 7]
+    ref_part: jnp.ndarray,  # [B, P] bool
+    reference_vals: jnp.ndarray,  # [B, P, 7] poses pinned for ref parts
+    rng: jax.Array,
+    num_inference_steps: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full reverse loop as lax.scan. Returns (final [B,P,7], trajectory [S,B,P,7])."""
+
+    def step_fn(carry, t):
+        noisy, rng = carry
+        pred_noise = denoise_fn(noisy, jnp.full((noisy.shape[0],), t, jnp.int32))
+        rng, k = jax.random.split(rng)
+        z = jax.random.normal(k, noisy.shape, noisy.dtype)
+        noisy = ddpm_step(ddpm, pred_noise, t, noisy, z, num_inference_steps)
+        noisy = jnp.where(ref_part[..., None], reference_vals, noisy)
+        return (noisy, rng), noisy
+
+    init_noisy = jnp.where(ref_part[..., None], reference_vals, init_noisy)
+    (final, _), traj = jax.lax.scan(step_fn, (init_noisy, rng), timesteps)
+    return final, traj

@@ -114,6 +114,20 @@ class EncoderLayer(nn.Module):
         return x
 
 
+class PoseHead(nn.Module):
+    """Linear-SiLU-Linear-SiLU-Linear head (reference :88-105 nn.Sequential); param names
+    ``layers_{0,2,4}`` mirror the torch Sequential indices for checkpoint conversion."""
+
+    dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.silu(nn.Dense(self.dim, name="layers_0")(x))
+        x = nn.silu(nn.Dense(self.dim // 2, name="layers_2")(x))
+        return nn.Dense(self.out_dim, name="layers_4")(x)
+
+
 class DenoiserTransformer(nn.Module):
     embed_dim: int = 512
     num_layers: int = 6
@@ -124,6 +138,7 @@ class DenoiserTransformer(nn.Module):
     multires: int = 10
     dropout: float = 0.2
     pe_dropout: float = 0.1
+    num_timesteps: int = 1000  # AdaLayerNorm embedding table size (DDPM_TRAIN_STEPS)
 
     @nn.compact
     def __call__(
@@ -172,15 +187,11 @@ class DenoiserTransformer(nn.Module):
 
         for i in range(self.num_layers):
             data = EncoderLayer(
-                C, self.num_heads, 6 * C, self.dropout, name=f"layer{i}"
+                C, self.num_heads, self.num_timesteps, self.dropout, name=f"layer{i}"
             )(data, self_bias, gen_bias, timesteps, train)
 
         # --- output heads (:138-147): mean-pool tokens per part, separate trans/rot MLPs ---
         out = data.reshape(B, P, L, C).mean(axis=2)
-        trans = nn.Sequential(
-            [nn.Dense(C), nn.silu, nn.Dense(C // 2), nn.silu, nn.Dense(3)], name="mlp_out_trans"
-        )(out)
-        rots = nn.Sequential(
-            [nn.Dense(C), nn.silu, nn.Dense(C // 2), nn.silu, nn.Dense(4)], name="mlp_out_rot"
-        )(out)
+        trans = PoseHead(C, 3, name="mlp_out_trans")(out)
+        rots = PoseHead(C, 4, name="mlp_out_rot")(out)
         return jnp.concatenate([trans, rots], axis=-1)  # [B, P, 7]

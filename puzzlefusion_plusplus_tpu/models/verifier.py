@@ -62,6 +62,7 @@ class VerifierTransformer(nn.Module):
     num_heads: int = 8
     max_nodes: int = 20
     num_features: int = 7  # 6 histogram bins + match count
+    ff_dim: int = 2048  # torch TransformerEncoderLayer dim_feedforward (reference :23)
 
     @nn.compact
     def __call__(self, edge_features, edge_indices, edge_valids, train: bool = False):
@@ -78,6 +79,6 @@ class VerifierTransformer(nn.Module):
         key_bias = jnp.where(edge_valids.astype(bool), 0.0, _NEG_INF)[:, None, None, :]
         for i in range(self.num_layers):
             x = TorchEncoderLayer(
-                self.embed_dim, self.num_heads, name=f"layer{i}"
+                self.embed_dim, self.num_heads, self.ff_dim, name=f"layer{i}"
             )(x, key_bias, train)
         return nn.Dense(1, name="mlp_out")(x)

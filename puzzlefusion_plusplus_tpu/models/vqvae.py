@@ -57,11 +57,16 @@ class PN2(nn.Module):
     num_point: int = 25  # latent tokens
     num_dim: int = 64  # latent channel
     local_decode_pts: int = 40
+    sa_npoints: Sequence[int] = (256, 128)  # SA1/SA2 centroids (SA3 uses num_point)
+    sa_nsamples: Sequence[int] = (32, 64, 64)  # neighborhood sizes per stage
 
     def setup(self):
-        self.sa1 = PointNetSetAbstraction(256, 0.2, 32, (64, 64, 128))
-        self.sa2 = PointNetSetAbstraction(128, 0.4, 64, (128, 128, 256))
-        self.sa3 = PointNetSetAbstraction(self.num_point, 0.8, 64, (256, 256, 512))
+        self.sa1 = PointNetSetAbstraction(self.sa_npoints[0], 0.2, self.sa_nsamples[0],
+                                          (64, 64, 128))
+        self.sa2 = PointNetSetAbstraction(self.sa_npoints[1], 0.4, self.sa_nsamples[1],
+                                          (128, 128, 256))
+        self.sa3 = PointNetSetAbstraction(self.num_point, 0.8, self.sa_nsamples[2],
+                                          (256, 256, 512))
         self.conv6 = nn.Dense(self.num_dim)
         self.fc1 = nn.Dense(256)
         self.fc2 = nn.Dense(512)
@@ -92,8 +97,12 @@ class VectorQuantizer(nn.Module):
     beta: float = 0.25
 
     @nn.compact
-    def __call__(self, z):
-        """z: [B, T, e_dim] -> (embedding_loss, z_q (STE), perplexity, code indices [B, T])."""
+    def __call__(self, z, mask: jnp.ndarray | None = None):
+        """z: [B, T, e_dim] -> (embedding_loss, z_q (STE), perplexity, code indices [B, T]).
+
+        ``mask``: optional [B] {0,1} — losses/perplexity averaged over masked samples only
+        (fixed-shape replacement for the reference's valid-part-only flattening).
+        """
         codebook = self.param(
             "embedding",
             lambda key: jax.random.uniform(
@@ -109,12 +118,22 @@ class VectorQuantizer(nn.Module):
         idx = jnp.argmin(d, axis=1)
         z_q = codebook[idx].reshape(z.shape)
 
-        loss = jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2) + self.beta * jnp.mean(
-            (z_q - jax.lax.stop_gradient(z)) ** 2
-        )
+        sq_to_code = (jax.lax.stop_gradient(z_q) - z) ** 2
+        sq_to_z = (z_q - jax.lax.stop_gradient(z)) ** 2
+        if mask is None:
+            loss = jnp.mean(sq_to_code) + self.beta * jnp.mean(sq_to_z)
+        else:
+            w = mask.astype(z.dtype).reshape(-1, 1, 1)
+            denom = jnp.maximum(w.sum() * z.shape[1] * z.shape[2], 1.0)
+            loss = (sq_to_code * w).sum() / denom + self.beta * (sq_to_z * w).sum() / denom
         z_q = z + jax.lax.stop_gradient(z_q - z)  # straight-through
 
-        e_mean = jnp.mean(jax.nn.one_hot(idx, self.n_e), axis=0)
+        onehot = jax.nn.one_hot(idx.reshape(z.shape[:-1]), self.n_e)  # [B, T, n_e]
+        if mask is None:
+            e_mean = jnp.mean(onehot.reshape(-1, self.n_e), axis=0)
+        else:
+            w = mask.astype(z.dtype).reshape(-1, 1, 1)
+            e_mean = (onehot * w).sum((0, 1)) / jnp.maximum((w * jnp.ones_like(onehot)).sum((0, 1)), 1.0)
         perplexity = jnp.exp(-jnp.sum(e_mean * jnp.log(e_mean + 1e-10)))
         return loss, z_q, perplexity, idx.reshape(z.shape[:-1])
 
@@ -129,9 +148,12 @@ class VQVAE(nn.Module):
     num_dim: int = 64
     local_decode_pts: int = 40
     beta: float = 0.25
+    sa_npoints: Sequence[int] = (256, 128)
+    sa_nsamples: Sequence[int] = (32, 64, 64)
 
     def setup(self):
-        self.pn2 = PN2(self.num_point, self.num_dim, self.local_decode_pts)
+        self.pn2 = PN2(self.num_point, self.num_dim, self.local_decode_pts,
+                       self.sa_npoints, self.sa_nsamples)
         self.vector_quantization = VectorQuantizer(
             self.n_embeddings, self.embedding_dim, self.beta
         )
@@ -146,12 +168,15 @@ class VQVAE(nn.Module):
     def decode(self, z_q):
         return self.pn2.decode(z_q)
 
-    def __call__(self, part_pcs, train: bool = False):
-        """part_pcs: [B, N, 3] -> dict with reconstruction offsets + quantizer stats."""
+    def __call__(self, part_pcs, train: bool = False, mask: jnp.ndarray | None = None):
+        """part_pcs: [B, N, 3] -> dict with reconstruction offsets + quantizer stats.
+
+        ``mask``: optional [B] {0,1} sample validity for the quantizer losses.
+        """
         z_e, xyz = self.pn2.encode(part_pcs, train)
         B, L, _ = z_e.shape
         embedding_loss, z_q, perplexity, code_idx = self.vector_quantization(
-            z_e.reshape(B, 4 * L, -1)
+            z_e.reshape(B, 4 * L, -1), mask
         )
         z_q = z_q.reshape(B, L, -1)
         x_hat = self.pn2.decode(z_q)

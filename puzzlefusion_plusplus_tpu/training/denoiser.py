@@ -1,0 +1,245 @@
+"""Stage-2 denoiser training (the reference's train_denoiser.py + Denoiser module).
+
+Semantics (denoiser/model/denoiser.py):
+  * forward (:80-116): sample t ~ U[0, 1000) per shape, add piecewise-DDPM noise to the GT
+    7-DoF poses, pin reference parts to GT, extract frozen-VQVAE features of the rotated
+    clouds, predict epsilon.
+  * loss (:118-126): MSE(pred, noise) masked to valid non-reference parts.
+  * validation (:153-209): full 20-step reverse loop (inference/sampler.py lax.scan) followed
+    by part-acc / shape-CD / rotation+translation RMSE metrics.
+  * optimizer (:228-236): AdamW lr 2e-4 betas (0.95, 0.999) wd 1e-6.
+
+The frozen encoder comes from a stage-1 orbax checkpoint (the reference's 'ae.' key-remap
+load, train_denoiser.py:30-35).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from puzzlefusion_plusplus_tpu.data import DenoiserDataset, Loader
+from puzzlefusion_plusplus_tpu.inference.sampler import (
+    FrozenEncoder,
+    ddpm_sample,
+    extract_features,
+    make_frozen_encoder,
+)
+from puzzlefusion_plusplus_tpu.models.denoiser import DenoiserTransformer
+from puzzlefusion_plusplus_tpu.models.scheduler import (
+    DDPMParams,
+    add_noise,
+    leading_timesteps,
+)
+from puzzlefusion_plusplus_tpu.parallel import (
+    data_parallel_mesh,
+    pad_batch_to_devices,
+    replicate,
+    shard_batch,
+)
+from puzzlefusion_plusplus_tpu.training.state import (
+    MetricsLogger,
+    TrainState,
+    adamw_reference,
+    create_state,
+    load_model_params,
+    save_checkpoint,
+)
+from puzzlefusion_plusplus_tpu.training.vqvae import make_model as make_ae_model
+from puzzlefusion_plusplus_tpu.utils.config import Config, config_from_argv
+from puzzlefusion_plusplus_tpu.utils.metrics import (
+    calc_part_acc,
+    calc_shape_cd,
+    rot_metrics,
+    trans_metrics,
+)
+
+
+def make_model(cfg: Config) -> DenoiserTransformer:
+    return DenoiserTransformer(
+        embed_dim=cfg.denoiser.embed_dim,
+        num_layers=cfg.denoiser.num_layers,
+        num_heads=cfg.denoiser.num_heads,
+        num_dim=cfg.denoiser.num_dim,
+        num_point=cfg.denoiser.num_point,
+        max_parts=cfg.data.max_num_part,
+        multires=cfg.denoiser.multires,
+        dropout=cfg.denoiser.dropout,
+        pe_dropout=cfg.denoiser.pe_dropout,
+    )
+
+
+def loss_fn(params, model, encoder: FrozenEncoder, ddpm: DDPMParams, batch, rng, train):
+    gt = jnp.concatenate([batch["part_trans"], batch["part_rots"]], axis=-1)  # [B, P, 7]
+    ref = batch["ref_part"].astype(bool)
+    B = gt.shape[0]
+    t_rng, n_rng, d_rng = jax.random.split(rng, 3)
+    timesteps = jax.random.randint(t_rng, (B,), 0, ddpm.num_train_timesteps)
+    noise = jax.random.normal(n_rng, gt.shape, gt.dtype)
+    noisy = add_noise(ddpm, gt, noise, timesteps)
+    noisy = jnp.where(ref[..., None], gt, noisy)
+
+    latent, xyz = extract_features(encoder, batch["part_pcs"], batch["part_valids"], noisy)
+    pred = model.apply(
+        {"params": params},
+        noisy, timesteps, latent, xyz,
+        batch["part_valids"], batch["part_scale"], ref,
+        train=train,
+        rngs={"dropout": d_rng} if train else {},
+    )
+    mask = (batch["part_valids"] > 0) & ~ref  # valid, non-reference (denoiser.py:118-126)
+    w = mask[..., None].astype(pred.dtype)
+    # F.mse_loss over the selected [M, 7] elements == weighted sum / (M * 7)
+    mse = ((pred - noise) ** 2 * w).sum() / jnp.maximum(w.sum() * 7.0, 1.0)
+    return mse, {"mse_loss": mse}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "encoder", "tx"), donate_argnames=("state",)
+)
+def train_step(state: TrainState, batch, rng, model, encoder, ddpm, tx):
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (_, metrics), grads = grad_fn(state.params, model, encoder, ddpm, batch, rng, True)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    return TrainState(new_params, state.batch_stats, new_opt, state.step + 1), metrics
+
+
+def make_sample_fn(model, encoder: FrozenEncoder, ddpm: DDPMParams, num_inference_steps):
+    """Jitted full validation sampler: noise -> 20-step reverse loop -> metrics inputs."""
+    timesteps = jnp.asarray(leading_timesteps(ddpm.num_train_timesteps, num_inference_steps))
+
+    @jax.jit
+    def sample(params, batch, rng):
+        gt = jnp.concatenate([batch["part_trans"], batch["part_rots"]], axis=-1)
+        ref = batch["ref_part"].astype(bool)
+        reference_vals = jnp.where(ref[..., None], gt, 0.0)
+        rng, k = jax.random.split(rng)
+        init = jax.random.normal(k, gt.shape, gt.dtype)
+
+        def denoise_fn(noisy, t):
+            latent, xyz = extract_features(
+                encoder, batch["part_pcs"], batch["part_valids"], noisy
+            )
+            return model.apply(
+                {"params": params}, noisy, t, latent, xyz,
+                batch["part_valids"], batch["part_scale"], ref, train=False,
+            )
+
+        final, traj = ddpm_sample(
+            denoise_fn, ddpm, timesteps, init, ref, reference_vals, rng,
+            num_inference_steps,
+        )
+        return final, traj
+
+    return sample
+
+
+@jax.jit
+def eval_metrics(final, batch):
+    pts = batch["part_pcs"] * batch["part_scale"][..., None]  # [B, P, N, 3] world units
+    pred_trans, pred_rots = final[..., :3], final[..., 3:]
+    gt_trans, gt_rots = batch["part_trans"], batch["part_rots"]
+    valids = batch["part_valids"]
+    acc, _, _ = calc_part_acc(pts, pred_trans, gt_trans, pred_rots, gt_rots, valids)
+    shape_cd = calc_shape_cd(pts, pred_trans, gt_trans, pred_rots, gt_rots, valids)
+    rmse_r = rot_metrics(pred_rots, gt_rots, valids, "rmse")
+    rmse_t = trans_metrics(pred_trans, gt_trans, valids, "rmse")
+    return {"part_acc": acc, "shape_cd": shape_cd, "rmse_r": rmse_r, "rmse_t": rmse_t}
+
+
+def numeric_batch(batch: dict) -> dict:
+    return {
+        k: v for k, v in batch.items()
+        if isinstance(v, np.ndarray) and v.dtype != object and k != "graph"
+    }
+
+
+def load_frozen_encoder(cfg: Config) -> FrozenEncoder:
+    ae = make_ae_model(cfg)
+    if cfg.denoiser.encoder_ckpt_path:
+        params, batch_stats = load_model_params(cfg.denoiser.encoder_ckpt_path)
+    else:  # untrained encoder (smoke/test runs)
+        flat = jnp.zeros((1, cfg.data.num_pc_points, 3))
+        variables = ae.init(jax.random.key(0), flat, train=False)
+        params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    return make_frozen_encoder(ae, params, batch_stats)
+
+
+def train(cfg: Config, max_steps: int | None = None) -> TrainState:
+    model = make_model(cfg)
+    encoder = load_frozen_encoder(cfg)
+    ddpm = DDPMParams.piecewise(cfg.denoiser.ddpm_train_steps)
+    mesh = data_parallel_mesh(cfg.trainer.num_devices)
+    n_dev = mesh.devices.size
+
+    train_ds = DenoiserDataset(
+        cfg.data.data_dir, mode="train", max_num_part=cfg.data.max_num_part,
+        multiple_ref_parts=cfg.denoiser.multiple_ref_parts, overfit=cfg.data.overfit,
+    )
+    val_ds = DenoiserDataset(
+        cfg.data.data_val_dir, mode="val", max_num_part=cfg.data.max_num_part,
+        multiple_ref_parts=cfg.denoiser.multiple_ref_parts, overfit=cfg.data.overfit,
+    )
+    train_loader = Loader(train_ds, cfg.data.batch_size, seed=cfg.trainer.seed)
+    val_loader = Loader(val_ds, cfg.data.val_batch_size, shuffle=False, drop_last=False,
+                        seed=cfg.trainer.seed)
+
+    tx = adamw_reference(cfg.denoiser.lr, cfg.denoiser.b1, cfg.denoiser.b2,
+                         cfg.denoiser.weight_decay)
+    rng = jax.random.key(cfg.trainer.seed)
+    rng, init_rng = jax.random.split(rng)
+    P, L = cfg.data.max_num_part, cfg.denoiser.num_point
+    variables = model.init(
+        init_rng,
+        jnp.zeros((1, P, 7)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, P, L, cfg.denoiser.num_dim)), jnp.zeros((1, P, L, 3)),
+        jnp.ones((1, P)), jnp.ones((1, P, 1)), jnp.zeros((1, P), bool),
+        train=False,
+    )
+    state = replicate(create_state(variables, tx), mesh)
+    sample_fn = make_sample_fn(model, encoder, ddpm, cfg.denoiser.num_inference_steps)
+
+    out_dir = f"{cfg.trainer.output_dir}/{cfg.trainer.experiment_name}/denoiser"
+    logger = MetricsLogger(out_dir)
+    step = 0
+    for epoch in range(cfg.denoiser.epochs):
+        for batch in train_loader:
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = train_step(
+                state, shard_batch(numeric_batch(batch), mesh), step_rng,
+                model, encoder, ddpm, tx,
+            )
+            if step % cfg.trainer.log_every == 0:
+                logger.log(step, epoch=epoch, **jax.device_get(metrics))
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                save_checkpoint(f"{out_dir}/ckpt", state, step)
+                return state
+        if (epoch + 1) % cfg.denoiser.val_every == 0 or epoch + 1 == cfg.denoiser.epochs:
+            accs = []
+            for batch in val_loader:
+                padded, _ = pad_batch_to_devices(numeric_batch(batch), n_dev)
+                sharded = shard_batch(padded, mesh)
+                rng, k = jax.random.split(rng)
+                final, _ = sample_fn(state.params, sharded, k)
+                m = jax.device_get(eval_metrics(final, sharded))
+                accs.append({k2: float(np.mean(v)) for k2, v in m.items()})
+            if accs:
+                agg = {k2: float(np.mean([a[k2] for a in accs])) for k2 in accs[0]}
+                logger.log(step, epoch=epoch, **{f"eval_{k2}": v for k2, v in agg.items()})
+            save_checkpoint(f"{out_dir}/ckpt", state, step)
+    return state
+
+
+def main(argv=None):
+    cfg = config_from_argv(argv if argv is not None else sys.argv[1:])
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Train state, optimizers, checkpointing, metric logging.
+
+TPU-native equivalents of the reference's Lightning plumbing:
+  * optimizers — optax AdamW with the reference hyperparameters (fracture_ae.py:82 AdamW 5e-4 +
+    MultiStepLR; denoiser.py:228-236 / verifier.py:103-110 AdamW 2e-4 betas (0.95, 0.999),
+    weight decay 1e-6).
+  * checkpointing — orbax with named sub-trees per model ({encoder, denoiser, verifier}), the
+    schema-first replacement for the reference's key-prefix state_dict surgery
+    (train_denoiser.py:30-35, test.py:24-38 — SURVEY.md §5.4).
+  * logging — JSONL metrics stream (stand-in for WandbLogger, §5.5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import orbax.checkpoint as ocp
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any  # {} for models without BatchNorm
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def adamw_reference(lr: float, b1: float = 0.95, b2: float = 0.999,
+                    weight_decay: float = 1e-6) -> optax.GradientTransformation:
+    """The denoiser/verifier optimizer (denoiser.py:228-236)."""
+    return optax.adamw(lr, b1=b1, b2=b2, eps=1e-8, weight_decay=weight_decay)
+
+
+def adamw_multistep(base_lr: float, milestones_steps: tuple[int, ...], gamma: float = 0.5,
+                    weight_decay: float = 1e-6) -> optax.GradientTransformation:
+    """The VQ-VAE optimizer: AdamW + MultiStepLR decay at step boundaries."""
+    schedule = optax.piecewise_constant_schedule(
+        base_lr, {int(m): gamma for m in milestones_steps}
+    )
+    return optax.adamw(schedule, eps=1e-8, weight_decay=weight_decay)
+
+
+def create_state(variables: dict, tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------- checkpointing
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int | None = None) -> str:
+    """Write {params, batch_stats, step} (+ opt_state) with orbax. Returns the path."""
+    path = os.path.abspath(
+        os.path.join(ckpt_dir, f"step_{int(step if step is not None else state.step)}")
+    )
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        path,
+        {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": int(state.step),
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str) -> dict:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def load_model_params(path: str) -> tuple[Any, Any]:
+    """Restore just (params, batch_stats) for frozen/eval use."""
+    restored = load_checkpoint(path)
+    return restored["params"], restored.get("batch_stats", {})
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    """mtime-latest step_* dir (the reference's auto-resume rule, train_matching.py:77-101)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    cands = [
+        os.path.join(ckpt_dir, d) for d in os.listdir(ckpt_dir) if d.startswith("step_")
+    ]
+    return max(cands, key=os.path.getmtime) if cands else None
+
+
+# ---------------------------------------------------------------- logging
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics stream + stdout echo."""
+
+    def __init__(self, out_dir: str, name: str = "metrics"):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, f"{name}.jsonl")
+        self._t0 = time.time()
+
+    def log(self, step: int, **metrics):
+        rec = {"step": int(step), "wall_s": round(time.time() - self._t0, 2)}
+        for k, v in metrics.items():
+            if isinstance(v, (jnp.ndarray, np.ndarray)):
+                v = float(np.asarray(v))
+            rec[k] = v
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        pretty = " ".join(
+            f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in rec.items()
+        )
+        print(pretty, flush=True)

@@ -54,6 +54,14 @@ def quat_apply(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return v + 2.0 * (w * uv + uuv)
 
 
+def quat_apply_raw(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """pytorch3d ``quaternion_apply`` semantics WITHOUT the unit-norm assumption:
+    the vector part of q ⊗ (0, v) ⊗ q* (scales by |q|² for non-unit q). Used where the
+    reference applies raw denoised quaternions (node_merge_utils.py:16-41)."""
+    p = jnp.concatenate([jnp.zeros_like(v[..., :1]), v], axis=-1)
+    return quat_multiply(quat_multiply(q, p), quat_conjugate(q))[..., 1:]
+
+
 def qrot(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Rotate point cloud(s) ``v`` by quaternion(s) ``q``, broadcasting q over the point dim.
 

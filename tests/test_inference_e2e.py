@@ -1,0 +1,82 @@
+"""End-to-end inference engine test: full denoise-verify-merge on synthetic data (small
+shapes, random weights) — checks shapes, finiteness, artifact contract, and determinism."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from puzzlefusion_plusplus_tpu.data import generate_dataset
+from puzzlefusion_plusplus_tpu.data.datasets import DenoiserDataset
+from puzzlefusion_plusplus_tpu.data.loader import Loader
+from puzzlefusion_plusplus_tpu.inference.run import (
+    SAMPLE_KEYS,
+    build_engine_fn,
+    save_inference_artifacts,
+)
+from puzzlefusion_plusplus_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def small_setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    generate_dataset(root, num_shapes=2, seed=1, split="val", min_parts=3, max_parts=4,
+                     n_points=96)
+    cfg = Config()
+    cfg.data.max_num_part = 5
+    cfg.data.num_pc_points = 96
+    cfg.denoiser.embed_dim = 32
+    cfg.denoiser.num_layers = 1
+    cfg.denoiser.num_heads = 2
+    cfg.verifier.embed_dim = 32
+    cfg.verifier.num_layers = 1
+    cfg.verifier.num_heads = 2
+    cfg.verifier.max_iters = 2
+
+    import puzzlefusion_plusplus_tpu.training.denoiser as tden
+    from puzzlefusion_plusplus_tpu.models.vqvae import VQVAE
+
+    orig = tden.make_ae_model
+    tden.make_ae_model = lambda cfg: VQVAE(
+        n_embeddings=32, embedding_dim=16, num_point=25, num_dim=64,
+        sa_npoints=(24, 12), sa_nsamples=(8, 8, 8),
+    )
+    ds = DenoiserDataset(
+        root + "/pc_data/val", mode="test", matching_data_path=root + "/matching_data",
+        max_num_part=5, max_corr=32, max_edges_dense=24,
+    )
+    batch = next(iter(Loader(ds, 2, shuffle=False, drop_last=False)))
+    engine = build_engine_fn(cfg)
+    yield cfg, engine, batch, root
+    tden.make_ae_model = orig
+
+
+def test_engine_end_to_end(small_setup):
+    cfg, engine, batch, root = small_setup
+    sample = {k: jnp.asarray(batch[k]) for k in SAMPLE_KEYS}
+    rngs = jax.random.split(jax.random.key(0), 2)
+    res = jax.device_get(engine(sample, rngs))
+    S = cfg.verifier.max_iters * cfg.denoiser.num_inference_steps
+    assert res["trajectory"].shape == (2, S, 5, 7)
+    assert np.isfinite(res["trajectory"]).all()
+    for k in ("part_acc", "shape_cd", "rmse_r", "rmse_t"):
+        assert np.isfinite(res[k]).all(), k
+    assert ((res["part_acc"] >= 0) & (res["part_acc"] <= 1)).all()
+
+    # determinism: same rngs -> identical result
+    res2 = jax.device_get(engine(sample, rngs))
+    np.testing.assert_array_equal(res["trajectory"], res2["trajectory"])
+
+    # artifact contract (auto_aggl.py:322-357)
+    import os
+
+    out_dir = root + "/artifacts"
+    save_inference_artifacts(out_dir, batch, res)
+    for i in range(2):
+        d = os.path.join(out_dir, str(int(batch["data_id"][i])))
+        names = sorted(os.listdir(d))
+        assert any(n.startswith("predict_") for n in names)
+        assert {"gt.npy", "init_pose.npy", "mesh_file_path.txt"} <= set(names)
+        traj = np.load(os.path.join(d, [n for n in names if n.startswith("predict_")][0]))
+        n_valid = int(batch["part_valids"][i].sum())
+        assert traj.shape == (S, n_valid, 7)
