@@ -1,0 +1,172 @@
+"""Matching-model training (the reference's Jigsaw_matching/train_matching.py).
+
+Loss staging matches model_config.py:27-31 + training_epoch_end (joint_seg_align_model.py:
+453-463): classification loss always on; the permutation loss joins at ``mat_epoch``; the
+rigid loss at ``rig_epoch``. Optimizer: cosine-annealed lr 1e-3
+(experiments/jigsaw_4x4_128_512_250e_cosine_everyday.yaml:13-20).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from puzzlefusion_plusplus_tpu.data.loader import Loader
+from puzzlefusion_plusplus_tpu.matching import ops as mops
+from puzzlefusion_plusplus_tpu.matching.dataset import AllPieceMatchingDataset
+from puzzlefusion_plusplus_tpu.matching.model import (
+    JigsawModel,
+    gt_permutation,
+    matching_f1,
+    permutation_loss,
+    rigid_loss_pairs,
+)
+from puzzlefusion_plusplus_tpu.training.state import (
+    MetricsLogger,
+    TrainState,
+    create_state,
+    save_checkpoint,
+)
+from puzzlefusion_plusplus_tpu.training.verifier import binary_cls_metrics
+from puzzlefusion_plusplus_tpu.utils.config import Config, apply_overrides
+
+
+def make_model(pc_feat_dim=128, aff_feat_dim=512, encoder="pointnet2",
+               sa_npoints=(1024, 256, 64, 16)) -> JigsawModel:
+    return JigsawModel(pc_feat_dim=pc_feat_dim, aff_feat_dim=aff_feat_dim,
+                       encoder_type=encoder, sa_npoints=sa_npoints)
+
+
+def loss_fn(params, batch_stats, model, batch, w_mat, w_rig, train, rng):
+    pid = batch["piece_id"]
+    n_valid = batch["part_valids"].sum(-1).astype(jnp.int32)
+    labels = mops.fracture_point_labels(
+        batch["gt_pcs"], pid, n_valid, batch["critical_label_thresholds"]
+    )
+    out, mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        batch["part_pcs"], pid, n_valid, labels,
+        train=train, compute_matching=True,
+        mutable=["batch_stats"] if train else [],
+    )
+    valid = mops.valid_point_mask(pid, n_valid)
+    w = valid.astype(jnp.float32)
+    logits = out["cls_logits"]
+    gt = labels.astype(jnp.float32)
+    bce = jnp.maximum(logits, 0) - logits * gt + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    cls_loss = (bce * w).sum() / jnp.maximum(w.sum(), 1.0)
+    metrics = {"cls_loss": cls_loss}
+    metrics.update(binary_cls_metrics(out["cls_pred"].astype(jnp.float32), gt, w))
+
+    # matching losses over compacted critical slots
+    slot_valid = out["crit_slot_valid"]
+    order = out["crit_order"]
+    gt_crit = jnp.take_along_axis(batch["gt_pcs"], order[..., None], axis=1)
+    pts_crit = jnp.take_along_axis(batch["part_pcs"], order[..., None], axis=1)
+    cross = out["s_mask"]
+    gt_perm = gt_permutation(
+        jnp.where(slot_valid[..., None], gt_crit, 1e3), cross
+    )
+    mat_loss = permutation_loss(out["ds_mat"], gt_perm, cross, out["n_critical_sum"])
+    metrics["mat_loss"] = mat_loss
+    rig_loss = jnp.where(
+        w_rig > 0,
+        rigid_loss_pairs(out["ds_mat"], pts_crit, out["crit_pid"], slot_valid,
+                         batch["part_valids"].shape[-1]),
+        0.0,
+    )
+    metrics["rig_loss"] = rig_loss
+    total = cls_loss + w_mat * mat_loss + w_rig * rig_loss
+    metrics["loss"] = total
+    new_stats = mutated.get("batch_stats", batch_stats) if train else batch_stats
+    return total, (metrics, new_stats, out, gt_perm, cross)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "tx"), donate_argnames=("state",))
+def train_step(state: TrainState, batch, w_mat, w_rig, rng, model, tx):
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (_, (metrics, new_stats, *_)), grads = grad_fn(
+        state.params, state.batch_stats, model, batch, w_mat, w_rig, True, rng
+    )
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
+
+
+def numeric_batch(batch):
+    return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+
+def train_matching(
+    data_dir: str,
+    out_dir: str = "output/matching",
+    epochs: int = 250,
+    batch_size: int = 1,
+    num_points: int = 5000,
+    lr: float = 1e-3,
+    mat_epoch: int = 10,
+    rig_epoch: int = 200,
+    seed: int = 123,
+    max_steps: int | None = None,
+    model: JigsawModel | None = None,
+    max_num_part: int = 20,
+) -> TrainState:
+    model = model or make_model()
+    ds = AllPieceMatchingDataset(data_dir, num_points=num_points, max_num_part=max_num_part)
+    loader = Loader(ds, batch_size, seed=seed)
+    steps_per_epoch = max(len(loader), 1)
+    schedule = optax.cosine_decay_schedule(lr, epochs * steps_per_epoch)
+    tx = optax.adam(schedule)
+
+    rng = jax.random.key(seed)
+    sample = numeric_batch(next(iter(loader)))
+    n_valid0 = jnp.asarray(sample["part_valids"]).sum(-1).astype(jnp.int32)
+    variables = model.init(
+        rng,
+        jnp.asarray(sample["part_pcs"]), jnp.asarray(sample["piece_id"]), n_valid0,
+        jnp.zeros(sample["piece_id"].shape, jnp.int32),
+        train=False, compute_matching=True,
+    )
+    state = create_state(variables, tx)
+    logger = MetricsLogger(out_dir)
+
+    step = 0
+    for epoch in range(epochs):
+        w_mat = 1.0 if epoch >= mat_epoch else 0.0
+        w_rig = 1.0 if epoch >= rig_epoch else 0.0
+        for batch in loader:
+            rng, k = jax.random.split(rng)
+            state, metrics = train_step(
+                state, {k2: jnp.asarray(v) for k2, v in numeric_batch(batch).items()},
+                jnp.asarray(w_mat), jnp.asarray(w_rig), k, model, tx,
+            )
+            if step % 20 == 0:
+                logger.log(step, epoch=epoch, **jax.device_get(metrics))
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                save_checkpoint(f"{out_dir}/ckpt", state, step)
+                return state
+        if (epoch + 1) % 50 == 0 or epoch + 1 == epochs:
+            save_checkpoint(f"{out_dir}/ckpt", state, step)
+    return state
+
+
+def main(argv=None):
+    args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]) if "=" in a)
+    train_matching(
+        args.get("data_dir", "pc_data/everyday/train"),
+        out_dir=args.get("out_dir", "output/matching"),
+        epochs=int(args.get("epochs", 250)),
+        batch_size=int(args.get("batch_size", 1)),
+        num_points=int(args.get("num_points", 5000)),
+        lr=float(args.get("lr", 1e-3)),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Matching subsystem tests: Sinkhorn, alignment solvers, piece-aware ops, model forward,
+and a training step on synthetic data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from puzzlefusion_plusplus_tpu.matching import ops as mops
+from puzzlefusion_plusplus_tpu.matching.alignment import (
+    global_alignment,
+    ransac_transform,
+    weighted_horn,
+)
+from puzzlefusion_plusplus_tpu.matching.sinkhorn import hungarian, sinkhorn_log
+
+
+def random_rotation(rng):
+    from scipy.spatial.transform import Rotation as R
+
+    return R.random(random_state=rng).as_matrix()
+
+
+def test_sinkhorn_doubly_stochastic_masked():
+    rng = np.random.default_rng(0)
+    s = rng.normal(size=(2, 8, 8)).astype(np.float32)
+    n = jnp.asarray([5, 8])
+    m = sinkhorn_log(jnp.asarray(s), n, n, max_iter=50, tau=0.2)
+    m = np.asarray(m)
+    # valid rows/cols sum to ~1; padded region exactly 0
+    np.testing.assert_allclose(m[0, :5, :5].sum(1), 1.0, atol=1e-3)
+    np.testing.assert_allclose(m[1].sum(0), 1.0, atol=1e-3)
+    assert m[0, 5:].sum() == 0 and m[0, :, 5:].sum() == 0
+
+
+def test_hungarian_matches_argmax_on_permutation():
+    rng = np.random.default_rng(1)
+    perm = rng.permutation(6)
+    scores = np.full((1, 6, 6), -1.0, np.float32)
+    scores[0, np.arange(6), perm] = 1.0
+    out = np.asarray(hungarian(jnp.asarray(scores), jnp.asarray([6]), jnp.asarray([6])))
+    assert (np.argmax(out[0], axis=1) == perm).all()
+
+
+def test_weighted_horn_recovers_rigid_transform():
+    rng = np.random.default_rng(2)
+    src = rng.normal(size=(50, 3))
+    R_gt = random_rotation(rng)
+    t_gt = rng.normal(size=3)
+    tgt = src @ R_gt.T + t_gt
+    r, t = weighted_horn(jnp.asarray(src), jnp.asarray(tgt), jnp.ones(50))
+    np.testing.assert_allclose(np.asarray(r), R_gt, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t), t_gt, atol=1e-5)
+
+
+def test_weighted_horn_ignores_zero_weight_outliers():
+    rng = np.random.default_rng(3)
+    src = rng.normal(size=(30, 3))
+    R_gt = random_rotation(rng)
+    tgt = src @ R_gt.T
+    tgt_noisy = tgt.copy()
+    tgt_noisy[:5] += 100.0  # gross outliers with zero weight
+    w = np.ones(30)
+    w[:5] = 0
+    r, _ = weighted_horn(jnp.asarray(src), jnp.asarray(tgt_noisy), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(r), R_gt, atol=1e-5)
+
+
+def test_ransac_transform_with_outliers():
+    rng = np.random.default_rng(4)
+    src = rng.normal(size=(64, 3)).astype(np.float32)
+    R_gt = random_rotation(rng).astype(np.float32)
+    t_gt = rng.normal(size=3).astype(np.float32)
+    tgt = src @ R_gt.T + t_gt
+    tgt[::4] += rng.normal(size=(16, 3)) * 5  # 25% outliers
+    r, t = ransac_transform(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.ones(64, bool), jax.random.key(0)
+    )
+    np.testing.assert_allclose(np.asarray(r), R_gt, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t), t_gt, atol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["mst", "chordal"])
+def test_global_alignment_roundtrip(method):
+    """Chain of known relative transforms -> recovered global poses match (up to gauge)."""
+    rng = np.random.default_rng(5)
+    n = 5
+    globals_gt = [np.eye(4)]
+    for _ in range(n - 1):
+        m = np.eye(4)
+        m[:3, :3] = random_rotation(rng)
+        m[:3, 3] = rng.normal(size=3)
+        globals_gt.append(m)
+    globals_gt = np.stack(globals_gt)
+    edges, rels = [], []
+    for a in range(n):
+        for b in range(a + 1, n):
+            # T_ab maps b into a's frame: global_b = global_a @ T_ab
+            edges.append([a, b])
+            rels.append(np.linalg.inv(globals_gt[a]) @ globals_gt[b])
+    out = global_alignment(n, np.asarray(edges), np.stack(rels), np.ones(len(edges)),
+                           method=method)
+    # gauge-fix to node 0 and compare
+    fix = globals_gt[0] @ np.linalg.inv(out[0])
+    out = fix[None] @ out
+    np.testing.assert_allclose(out, globals_gt, atol=1e-4)
+
+
+def test_piece_ids_and_masks():
+    n_pcs = jnp.asarray([[3, 2, 0]])
+    pid = mops.piece_ids(n_pcs, 7)
+    # the padded tail after a zero-size piece counts past every cumsum -> id P (= 3)
+    np.testing.assert_array_equal(np.asarray(pid)[0], [0, 0, 0, 1, 1, 3, 3])
+    valid = mops.valid_point_mask(pid, jnp.asarray([2]))
+    np.testing.assert_array_equal(np.asarray(valid)[0], [1, 1, 1, 1, 1, 0, 0])
+    cross = mops.diagonal_square_mask(pid, jnp.asarray([2]))
+    c = np.asarray(cross)[0]
+    assert c[0, 3] and not c[0, 1] and not c[0, 5] and not c[0, 0]
+
+
+def test_fracture_point_labels():
+    # two pieces: points 0/1 near each other across pieces, point 2 far
+    gt = jnp.asarray([[[0, 0, 0], [0.01, 0, 0], [5, 5, 5], [0, 0, 0.01]]], jnp.float32)
+    n_pcs = jnp.asarray([[2, 2]])
+    pid = mops.piece_ids(n_pcs, 4)
+    labels = mops.fracture_point_labels(gt, pid, jnp.asarray([2]),
+                                        jnp.full((1, 4), 0.025))
+    np.testing.assert_array_equal(np.asarray(labels)[0], [1, 1, 0, 1])
+
+
+def test_knn_piece_aware_stays_in_piece():
+    rng = np.random.default_rng(6)
+    xyz = jnp.asarray(rng.normal(size=(1, 20, 3)).astype(np.float32))
+    pid = mops.piece_ids(jnp.asarray([[10, 10]]), 20)
+    _, idx = mops.knn_piece_aware(xyz, pid, 4)
+    idx = np.asarray(idx)[0]
+    assert (idx[:10] < 10).all() and (idx[10:] >= 10).all()
+
+
+@pytest.fixture(scope="module")
+def tiny_jigsaw():
+    from puzzlefusion_plusplus_tpu.matching.model import JigsawModel
+
+    model = JigsawModel(pc_feat_dim=32, aff_feat_dim=16, sa_npoints=(32, 16, 8, 4),
+                        tf_num_samples=8)
+    return model
+
+
+def test_jigsaw_model_forward(tiny_jigsaw):
+    rng = np.random.default_rng(7)
+    B, N = 1, 128
+    pcs = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    n_pcs = jnp.asarray([[64, 64, 0]])
+    pid = mops.piece_ids(n_pcs, N)
+    n_valid = jnp.asarray([2])
+    labels = jnp.asarray((rng.random((B, N)) < 0.3).astype(np.int32))
+    variables = tiny_jigsaw.init(jax.random.key(0), pcs, pid, n_valid, labels,
+                                 train=False, compute_matching=True)
+    out = tiny_jigsaw.apply(variables, pcs, pid, n_valid, labels, train=False,
+                            compute_matching=True)
+    assert out["cls_logits"].shape == (B, N)
+    assert out["ds_mat"].shape == (B, N, N)
+    m = np.asarray(out["ds_mat"])
+    assert np.isfinite(m).all()
+    nc = int(np.asarray(out["n_critical_sum"])[0])
+    assert m[0, nc:].sum() == 0  # padded critical slots empty
+
+
+def test_matching_training_step(tmp_path):
+    from puzzlefusion_plusplus_tpu.data import generate_dataset
+    from puzzlefusion_plusplus_tpu.matching.train import make_model, train_matching
+
+    root = str(tmp_path)
+    generate_dataset(root, num_shapes=2, seed=0, split="train", min_parts=2, max_parts=3,
+                     with_matching=False, with_verifier=False)
+    model = make_model(pc_feat_dim=32, aff_feat_dim=16, sa_npoints=(32, 16, 8, 4))
+    state = train_matching(
+        root + "/pc_data/train", out_dir=root + "/out", epochs=1, batch_size=1,
+        num_points=160, mat_epoch=0, rig_epoch=0, max_steps=2, model=model,
+        max_num_part=4,
+    )
+    assert int(state.step) == 2
