@@ -25,8 +25,23 @@ import numpy as np
 from scipy.spatial.transform import Rotation as R
 
 from puzzlefusion_plusplus_tpu.models.scheduler import piecewise_betas
+from puzzlefusion_plusplus_tpu.utils import native
 
 MAX_EDGES = 190  # 20 * 19 / 2
+
+
+def _draw_rotations(num: int, rng: np.random.Generator) -> tuple[np.ndarray, np.ndarray]:
+    """num uniform rotations drawn one-by-one (exact reference rng consumption order).
+
+    Returns (rot_mats [num, 3, 3], scalar-first GT quats [num, 4] of the transposed mats).
+    """
+    mats = np.empty((num, 3, 3), np.float32)
+    quats = np.empty((num, 4), np.float32)
+    for i in range(num):
+        m = R.random(random_state=rng).as_matrix()
+        mats[i] = m
+        quats[i] = R.from_matrix(m.T).as_quat()[[3, 0, 1, 2]]
+    return mats, quats
 
 
 def _pad(data: np.ndarray, n: int) -> np.ndarray:
@@ -83,12 +98,9 @@ class VQVAEDataset:
         s = self.data_list[idx]
         num_parts = int(s["num_parts"])
         pcs = s["part_pcs_gt"]
-        cur = []
-        for i in range(num_parts):
-            pc, _ = _recenter_pc(pcs[i])
-            pc, _ = _rotate_pc(pc, rng)
-            cur.append(pc)
-        cur = _pad(np.stack(cur), self.max_num_part)
+        rot_mats, _ = _draw_rotations(num_parts, rng)
+        pts, _, _ = native.augment_parts_cpu(pcs[:num_parts], rot_mats, normalize=False)
+        cur = _pad(pts, self.max_num_part)
         scale = np.max(np.abs(cur), axis=(1, 2), keepdims=True)
         scale[scale == 0] = 1
         return {
@@ -232,17 +244,15 @@ class DenoiserDataset:
         pose_gt_t = part_pcs_final[ref_idx].mean(axis=0)
         part_pcs_final = part_pcs_final - pose_gt_t
 
-        cur_pts, cur_quat, cur_trans = [], [], []
-        for i in range(num_parts):
-            pc, gt_trans = _recenter_pc(part_pcs_final[i])
-            pc, gt_quat = _rotate_pc(pc, rng)
-            cur_pts.append(pc)
-            cur_quat.append(gt_quat)
-            cur_trans.append(gt_trans)
-
-        cur_pts = _pad(np.stack(cur_pts), self.max_num_part)
-        cur_quat = _pad(np.stack(cur_quat), self.max_num_part)
-        cur_trans = _pad(np.stack(cur_trans), self.max_num_part)
+        # per-part recenter + random rotation; the transform math runs in the native host
+        # core (utils/native.py) with rotations drawn in the exact reference rng order
+        rot_mats, quats = _draw_rotations(num_parts, rng)
+        pts, centroids, _ = native.augment_parts_cpu(
+            part_pcs_final[:num_parts], rot_mats, normalize=False
+        )
+        cur_pts = _pad(pts, self.max_num_part)
+        cur_quat = _pad(quats, self.max_num_part)
+        cur_trans = _pad(centroids, self.max_num_part)
 
         P = self.max_num_part
         d = {

@@ -38,7 +38,7 @@ from puzzlefusion_plusplus_tpu.models.scheduler import (
     leading_timesteps,
     step as ddpm_step,
 )
-from puzzlefusion_plusplus_tpu.ops.fps import farthest_point_sample_xla
+from puzzlefusion_plusplus_tpu.ops.fps import farthest_point_sample
 from puzzlefusion_plusplus_tpu.ops.normals import estimate_pointcloud_normals
 from puzzlefusion_plusplus_tpu.utils.transforms import (
     affine_to_pose,
@@ -128,8 +128,10 @@ def edge_histograms(
     d = jnp.sum((src[:, :, None, :] - tgt[:, None, :, :]) ** 2, axis=-1)  # [E, K, K]
     per_point = d.min(axis=2) + d.min(axis=1)  # index-aligned fwd+bwd (chamferdist quirk)
     edges_arr = jnp.asarray(CD_BIN_EDGES)
-    # bucketize(right=True): bin b counts edges_arr[b-1] < x <= edges_arr[b]; keep bins 1..6
-    bin_idx = jnp.searchsorted(edges_arr, per_point, side="left")  # [E, K]
+    # bucketize(right=True): bin b counts edges_arr[b-1] < x <= edges_arr[b]; keep bins 1..6.
+    # Direct comparisons instead of searchsorted — identical result, and searchsorted's
+    # while-loop lowering costs minutes of XLA:TPU compile at this shape.
+    bin_idx = (per_point[..., None] > edges_arr[None, None, :]).sum(-1)  # [E, K]
     in_bin = (bin_idx[..., None] == (1 + jnp.arange(6))[None, None, :]) & kmask[..., None]
     bins = in_bin.sum(axis=1).astype(jnp.float32)  # [E, 6]
     bins = jnp.where(match_edge_valid[:, None], bins, 0.0)
@@ -326,7 +328,7 @@ def verify_and_merge(
         member[:, :, None] & state.node_valids[None, :, None] & keep[None]
     ).reshape(P, P * N)  # [label, P*N]
     fps_mask = fps_mask & merging[:, None]
-    fps_idx = farthest_point_sample_xla(
+    fps_idx = farthest_point_sample(
         jnp.broadcast_to(flat_pts[None], (P, P * N, 3)), N, mask=fps_mask
     )  # [label, N]
     merged = flat_pts[fps_idx] - centroid[:, None, :]  # [label, N, 3]

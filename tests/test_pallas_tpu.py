@@ -32,3 +32,24 @@ def test_fps_pallas_parity():
     f1 = farthest_point_sample_xla(xyz, 128, mask)
     f2 = farthest_point_sample_pallas(xyz, 128, mask)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_fps_pallas_batched_parity():
+    import jax
+
+    from puzzlefusion_plusplus_tpu.ops.fps import (
+        _fps_pallas_batched,
+        farthest_point_sample_xla,
+    )
+
+    xyz = jnp.array(RNG.standard_normal((20, 1000, 3)).astype(np.float32))
+    mask = jnp.array(RNG.random((20, 1000)) > 0.1)
+    f1 = farthest_point_sample_xla(xyz, 256, mask)
+    f2 = _fps_pallas_batched(xyz, 256, mask)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    # vmapped (the engine's per-label merge path)
+    x4 = jnp.array(RNG.standard_normal((2, 6, 256, 3)).astype(np.float32))
+    m4 = jnp.ones((2, 6, 256), bool)
+    fv = jax.vmap(lambda xx, mm: _fps_pallas_batched(xx, 64, mm))(x4, m4)
+    ref = jnp.stack([farthest_point_sample_xla(x4[i], 64, m4[i]) for i in range(2)])
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(ref))
