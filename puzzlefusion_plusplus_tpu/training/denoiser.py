@@ -42,6 +42,7 @@ from puzzlefusion_plusplus_tpu.parallel import (
     shard_batch,
 )
 from puzzlefusion_plusplus_tpu.training.state import (
+    maybe_restore,
     MetricsLogger,
     TrainState,
     adamw_reference,
@@ -206,6 +207,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
 
     out_dir = f"{cfg.trainer.output_dir}/{cfg.trainer.experiment_name}/denoiser"
     logger = MetricsLogger(out_dir)
+    state = maybe_restore(state, f"{out_dir}/ckpt", cfg.denoiser.ckpt_path)
     step = 0
     for epoch in range(cfg.denoiser.epochs):
         for batch in train_loader:

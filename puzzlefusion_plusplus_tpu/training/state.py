@@ -80,15 +80,45 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int | None = None) -
     return path
 
 
+def resolve_checkpoint_path(path: str) -> str:
+    """Accepts a concrete step_N dir, a ckpt dir (resolves mtime-latest step), or a
+    '<ckpt_dir>/latest' alias."""
+    path = os.path.abspath(path)
+    if os.path.basename(path) == "latest":
+        path = os.path.dirname(path)
+    if os.path.isdir(path) and not os.path.basename(path).startswith("step_"):
+        latest = latest_checkpoint(path)
+        if latest is not None:
+            return latest
+    return path
+
+
 def load_checkpoint(path: str) -> dict:
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    return ckptr.restore(resolve_checkpoint_path(path))
 
 
 def load_model_params(path: str) -> tuple[Any, Any]:
     """Restore just (params, batch_stats) for frozen/eval use."""
     restored = load_checkpoint(path)
     return restored["params"], restored.get("batch_stats", {})
+
+
+def maybe_restore(state: TrainState, ckpt_dir: str, explicit_path: str = "") -> TrainState:
+    """Auto-resume: restore from an explicit path or the mtime-latest checkpoint in
+    ``ckpt_dir`` (the reference's resume rule, train_matching.py:77-101). Returns the
+    state unchanged when nothing exists."""
+    path = explicit_path or latest_checkpoint(ckpt_dir)
+    if not path:
+        return state
+    restored = load_checkpoint(path)
+    print(f"resuming from {path} (step {restored['step']})", flush=True)
+    return TrainState(
+        params=restored["params"],
+        batch_stats=restored.get("batch_stats", state.batch_stats),
+        opt_state=restored.get("opt_state", state.opt_state),
+        step=jnp.asarray(restored["step"], jnp.int32),
+    )
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:

@@ -29,6 +29,7 @@ from puzzlefusion_plusplus_tpu.parallel import (
     shard_batch,
 )
 from puzzlefusion_plusplus_tpu.training.state import (
+    maybe_restore,
     MetricsLogger,
     TrainState,
     adamw_multistep,
@@ -134,6 +135,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
 
     out_dir = f"{cfg.trainer.output_dir}/{cfg.trainer.experiment_name}/vqvae"
     logger = MetricsLogger(out_dir)
+    state = maybe_restore(state, f"{out_dir}/ckpt", cfg.ae.ckpt_path)
     step = 0
     for epoch in range(cfg.ae.epochs):
         for batch in train_loader:
