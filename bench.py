@@ -35,13 +35,16 @@ BATCH = int(os.environ.get("PFPP_BENCH_BATCH", "8"))
 REPEATS = int(os.environ.get("PFPP_BENCH_REPEATS", "3"))
 
 
+NUM_BENCH_SHAPES = 32
+
+
 def _ensure_data() -> None:
     from puzzlefusion_plusplus_tpu.data import generate_dataset
 
-    marker = os.path.join(DATA_DIR, ".done")
+    marker = os.path.join(DATA_DIR, f".done_{NUM_BENCH_SHAPES}")
     if os.path.exists(marker):
         return
-    generate_dataset(DATA_DIR, num_shapes=BATCH, seed=7, split="val",
+    generate_dataset(DATA_DIR, num_shapes=NUM_BENCH_SHAPES, seed=7, split="val",
                      min_parts=3, max_parts=12)
     open(marker, "w").write("ok")
 

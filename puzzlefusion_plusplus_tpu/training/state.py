@@ -46,6 +46,29 @@ def adamw_multistep(base_lr: float, milestones_steps: tuple[int, ...], gamma: fl
     return optax.adamw(schedule, eps=1e-8, weight_decay=weight_decay)
 
 
+def cosine_warmup_restarts_schedule(
+    base_lr: float, first_cycle_steps: int, cycle_mult: float = 1.0,
+    warmup_steps: int = 0, min_lr: float = 0.0, gamma: float = 1.0,
+    num_cycles: int = 8,
+) -> optax.Schedule:
+    """CosineAnnealingWarmupRestarts (Jigsaw_matching/utils/lr.py:26 semantics): repeated
+    warmup -> cosine-decay cycles, cycle length x ``cycle_mult``, peak lr x ``gamma``."""
+    schedules, boundaries = [], []
+    steps, peak, total = first_cycle_steps, base_lr, 0
+    for _ in range(num_cycles):
+        schedules.append(
+            optax.warmup_cosine_decay_schedule(
+                init_value=min_lr, peak_value=peak, warmup_steps=warmup_steps,
+                decay_steps=max(steps, warmup_steps + 1), end_value=min_lr,
+            )
+        )
+        total += steps
+        boundaries.append(total)
+        steps = int(steps * cycle_mult)
+        peak *= gamma
+    return optax.join_schedules(schedules, boundaries[:-1])
+
+
 def create_state(variables: dict, tx: optax.GradientTransformation) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -171,6 +171,45 @@ def quat_to_euler(q: jnp.ndarray, to_degree: bool = True) -> jnp.ndarray:
     return e
 
 
+def axis_angle_to_quat(axis_angle: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Rotation vector (axis * angle, radians) -> scalar-first quaternion. [..., 3] -> [..., 4].
+
+    Part of the multi-representation rotation surface the reference exposes through its
+    Rotation3D wrapper (Jigsaw_matching/utils/rotation.py:97-230)."""
+    angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    half = 0.5 * angle
+    small = angle < 1e-6
+    # sin(half)/angle with a series fallback for tiny angles
+    k = jnp.where(small, 0.5 - angle**2 / 48.0, jnp.sin(half) / jnp.clip(angle, eps, None))
+    return jnp.concatenate([jnp.cos(half), axis_angle * k], axis=-1)
+
+
+def quat_to_axis_angle(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Scalar-first quaternion -> rotation vector. [..., 4] -> [..., 3]."""
+    q = quat_normalize(q)
+    q = jnp.where(q[..., :1] < 0, -q, q)  # canonical hemisphere
+    sin_half = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    angle = 2.0 * jnp.arctan2(sin_half, q[..., :1])
+    small = sin_half < 1e-6
+    k = jnp.where(small, 2.0 + angle**2 / 12.0, angle / jnp.clip(sin_half, eps, None))
+    return q[..., 1:] * k
+
+
+def rot6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
+    """Zhou et al. 6D rotation -> matrix via Gram-Schmidt. [..., 6] -> [..., 3, 3]."""
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.clip(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-12, None)
+    a2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2 / jnp.clip(jnp.linalg.norm(a2, axis=-1, keepdims=True), 1e-12, None)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
+def matrix_to_rot6d(m: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] -> [..., 6] (first two rows)."""
+    return jnp.concatenate([m[..., 0, :], m[..., 1, :]], axis=-1)
+
+
 def pose_to_affine(trans: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:
     """(trans [...,3], quat [...,4]) -> 4x4 affine [..., 4, 4] (rotation then translation)."""
     batch = trans.shape[:-1]
