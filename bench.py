@@ -27,8 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Measured once with `python bench.py --cpu-baseline` on the build host (batch=1 engine on CPU).
-REFERENCE_CPU_ASSEMBLIES_PER_SEC = 0.0385
+# Measured with `python bench.py --cpu-baseline` on this build host (batch=1 engine on CPU,
+# runs of 308-473 s per assembly): {"value": 0.0032, "backend": "cpu", "batch": 1}.
+REFERENCE_CPU_ASSEMBLIES_PER_SEC = 0.0032
 
 DATA_DIR = os.environ.get("PFPP_BENCH_DATA", "/tmp/pfpp_bench_data")
 BATCH = int(os.environ.get("PFPP_BENCH_BATCH", "8"))

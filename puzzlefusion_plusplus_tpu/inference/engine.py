@@ -32,7 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from puzzlefusion_plusplus_tpu.inference.sampler import FrozenEncoder, extract_features
+from puzzlefusion_plusplus_tpu.inference.sampler import (
+    FrozenEncoder,
+    build_feature_cache,
+    extract_features,
+)
 from puzzlefusion_plusplus_tpu.models.scheduler import (
     DDPMParams,
     leading_timesteps,
@@ -180,7 +184,12 @@ def make_denoise_phase(
     )
 
     def denoise_phase(state: AgglState):
-        """20-step reverse loop; returns (state, trajectory [S, P, 7] of composed poses)."""
+        """20-step reverse loop; returns (state, trajectory [S, P, 7] of composed poses).
+
+        The compaction layout + FPS/ball-query indices are invariant across the 20 steps
+        (rotation-invariant, and part_pcs/valids only change at merges), so they are built
+        ONCE here instead of 20x inside the scan — the single biggest inference speedup."""
+        cache = build_feature_cache(encoder, state.part_pcs[None], state.part_valids[None])
 
         def step_fn(carry, t):
             noisy, rng = carry
@@ -189,6 +198,7 @@ def make_denoise_phase(
                 state.part_pcs[None],
                 state.part_valids[None],
                 noisy[None],
+                cache,
             )
             pred = denoiser_apply(
                 noisy[None],

@@ -26,21 +26,50 @@ from puzzlefusion_plusplus_tpu.utils.transforms import quat_normalize, qrot
 class FrozenEncoder(NamedTuple):
     """Frozen VQ-VAE encode closure (the reference's self.encoder, denoiser.py:37-77)."""
 
-    apply: Callable  # (part_pcs [M, N, 3]) -> {"z_q": [M, L, C], "xyz": [M, L, 3]}
+    apply: Callable  # (part_pcs [M, N, 3], cached_idx=None) -> {"z_q": ..., "xyz": ...}
+    grouping: Callable  # (part_pcs [M, N, 3]) -> rotation-invariant stage indices
     num_point: int
     num_dim: int
 
 
 def make_frozen_encoder(model, params, batch_stats) -> FrozenEncoder:
-    def apply(flat_pcs):
+    def apply(flat_pcs, cached_idx=None):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             flat_pcs,
             train=False,
+            cached_idx=cached_idx,
             method=type(model).encode,
         )
 
-    return FrozenEncoder(apply, model.num_point, model.num_dim)
+    from puzzlefusion_plusplus_tpu.models.vqvae import pn2_grouping_indices
+
+    def grouping(flat_pcs):
+        return pn2_grouping_indices(
+            flat_pcs, model.num_point, model.sa_npoints, model.sa_nsamples
+        )
+
+    return FrozenEncoder(apply, grouping, model.num_point, model.num_dim)
+
+
+class FeatureCache(NamedTuple):
+    """Per-iteration invariants of the denoise loop: compaction layout + rotation-invariant
+    sampling/grouping indices. Valid as long as part_pcs/part_valids are unchanged (i.e.
+    between agglomeration merges)."""
+
+    order: jnp.ndarray
+    src: jnp.ndarray
+    slot_valid: jnp.ndarray
+    idx_stages: tuple
+
+
+def build_feature_cache(
+    encoder: FrozenEncoder, part_pcs: jnp.ndarray, part_valids: jnp.ndarray
+) -> FeatureCache:
+    B, P, N, _ = part_pcs.shape
+    order, src, slot_valid = compaction_indices(part_valids)
+    flat = compact_parts(part_pcs, src).reshape(B * P, N, 3)
+    return FeatureCache(order, src, slot_valid, encoder.grouping(flat))
 
 
 def extract_features(
@@ -48,15 +77,24 @@ def extract_features(
     part_pcs: jnp.ndarray,  # [B, P, N, 3]
     part_valids: jnp.ndarray,  # [B, P]
     noisy_trans_and_rots: jnp.ndarray,  # [B, P, 7]
+    cache: FeatureCache | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Rotate clouds by the noisy quaternion, encode, scatter into dense [B, P, L, *]
-    (reference denoiser.py:55-77, fixed-shape via compaction instead of boolean gather)."""
+    (reference denoiser.py:55-77, fixed-shape via compaction instead of boolean gather).
+
+    With ``cache`` (build_feature_cache on the SAME part_pcs/part_valids), the per-step
+    FPS/ball-query recomputation disappears — rotation leaves those indices unchanged, so
+    this is numerically the reference semantics minus float-tie jitter."""
     B, P, N, _ = part_pcs.shape
     quat = quat_normalize(noisy_trans_and_rots[..., 3:])
     rotated = qrot(quat[:, :, None, :], part_pcs)
-    order, src, slot_valid = compaction_indices(part_valids)
+    if cache is None:
+        order, src, slot_valid = compaction_indices(part_valids)
+        idx_stages = None
+    else:
+        order, src, slot_valid, idx_stages = cache
     flat = compact_parts(rotated, src).reshape(B * P, N, 3)
-    out = encoder.apply(flat)
+    out = encoder.apply(flat, idx_stages)
     z_q = out["z_q"].reshape(B, P, encoder.num_point, encoder.num_dim)
     xyz = out["xyz"].reshape(B, P, encoder.num_point, 3)
     latent = scatter_parts(z_q, order, slot_valid)

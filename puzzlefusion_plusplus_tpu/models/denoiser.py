@@ -34,11 +34,12 @@ class AdaLayerNorm(nn.Module):
 
     dim: int
     num_embeddings: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, timestep):
-        emb = nn.Embed(self.num_embeddings, self.dim, name="emb")(timestep)  # [B, C]
-        emb = nn.Dense(2 * self.dim, name="linear")(nn.silu(emb))
+        emb = nn.Embed(self.num_embeddings, self.dim, name="emb", dtype=self.dtype)(timestep)
+        emb = nn.Dense(2 * self.dim, name="linear", dtype=self.dtype)(nn.silu(emb))
         scale, shift = jnp.split(emb, 2, axis=-1)
         x = nn.LayerNorm(use_bias=False, use_scale=False)(x)
         return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
@@ -50,6 +51,7 @@ class MultiHeadAttention(nn.Module):
     dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, bias, train: bool = False):
@@ -57,19 +59,19 @@ class MultiHeadAttention(nn.Module):
         B, T, C = x.shape
         h = self.num_heads
         hd = C // h
-        q = nn.Dense(C, use_bias=False, name="to_q")(x)
-        k = nn.Dense(C, use_bias=False, name="to_k")(x)
-        v = nn.Dense(C, use_bias=False, name="to_v")(x)
+        q = nn.Dense(C, use_bias=False, name="to_q", dtype=self.dtype)(x)
+        k = nn.Dense(C, use_bias=False, name="to_k", dtype=self.dtype)(x)
+        v = nn.Dense(C, use_bias=False, name="to_v", dtype=self.dtype)(x)
         q = q.reshape(B, T, h, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, T, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, h, hd).transpose(0, 2, 1, 3)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
         if bias is not None:
-            scores = scores + bias
-        probs = nn.softmax(scores, axis=-1)
+            scores = scores + bias.astype(scores.dtype)
+        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
-        out = nn.Dense(C, name="to_out")(out)
+        out = nn.Dense(C, name="to_out", dtype=self.dtype)(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         return out
 
@@ -80,15 +82,16 @@ class GEGLUFeedForward(nn.Module):
     dim: int
     dropout: float = 0.0
     mult: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         inner = self.dim * self.mult
-        hg = nn.Dense(2 * inner, name="proj")(x)
+        hg = nn.Dense(2 * inner, name="proj", dtype=self.dtype)(x)
         h, gate = jnp.split(hg, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        return nn.Dense(self.dim, name="out")(h)
+        return nn.Dense(self.dim, name="out", dtype=self.dtype)(h)
 
 
 class EncoderLayer(nn.Module):
@@ -98,19 +101,22 @@ class EncoderLayer(nn.Module):
     num_heads: int
     num_ada_embeddings: int
     dropout: float = 0.2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, self_bias, gen_bias, timestep, train: bool = False):
-        h = AdaLayerNorm(self.dim, self.num_ada_embeddings, name="norm1")(x, timestep)
-        x = x + MultiHeadAttention(self.dim, self.num_heads, self.dropout, name="self_attn")(
-            h, self_bias, train
+        h = AdaLayerNorm(self.dim, self.num_ada_embeddings, self.dtype, name="norm1")(
+            x, timestep
         )
-        h = AdaLayerNorm(self.dim, self.num_ada_embeddings, name="norm2")(x, timestep)
-        x = x + MultiHeadAttention(self.dim, self.num_heads, self.dropout, name="global_attn")(
-            h, gen_bias, train
+        x = x + MultiHeadAttention(self.dim, self.num_heads, self.dropout, self.dtype,
+                                   name="self_attn")(h, self_bias, train)
+        h = AdaLayerNorm(self.dim, self.num_ada_embeddings, self.dtype, name="norm2")(
+            x, timestep
         )
+        x = x + MultiHeadAttention(self.dim, self.num_heads, self.dropout, self.dtype,
+                                   name="global_attn")(h, gen_bias, train)
         h = nn.LayerNorm(name="norm3")(x)
-        x = x + GEGLUFeedForward(self.dim, self.dropout, name="ff")(h, train)
+        x = x + GEGLUFeedForward(self.dim, self.dropout, dtype=self.dtype, name="ff")(h, train)
         return x
 
 
@@ -120,11 +126,12 @@ class PoseHead(nn.Module):
 
     dim: int
     out_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.silu(nn.Dense(self.dim, name="layers_0")(x))
-        x = nn.silu(nn.Dense(self.dim // 2, name="layers_2")(x))
+        x = nn.silu(nn.Dense(self.dim, name="layers_0", dtype=self.dtype)(x))
+        x = nn.silu(nn.Dense(self.dim // 2, name="layers_2", dtype=self.dtype)(x))
         return nn.Dense(self.out_dim, name="layers_4")(x)
 
 
@@ -139,6 +146,7 @@ class DenoiserTransformer(nn.Module):
     dropout: float = 0.2
     pe_dropout: float = 0.1
     num_timesteps: int = 1000  # AdaLayerNorm embedding table size (DDPM_TRAIN_STEPS)
+    dtype: object = None  # compute dtype (jnp.bfloat16 for mixed precision); params stay fp32
 
     @nn.compact
     def __call__(
@@ -161,9 +169,9 @@ class DenoiserTransformer(nn.Module):
         scale_emb = jnp.broadcast_to(scale_emb[:, :, None, :], (B, P, L, scale_emb.shape[-1]))
         xyz_emb = nerf_embed(xyz, self.multires)  # [B, P, L, 63]
         shape_in = jnp.concatenate([latent, xyz_emb, scale_emb], axis=-1)
-        shape_emb = nn.Dense(C, name="shape_embedding")(shape_in)  # [B, P, L, C]
+        shape_emb = nn.Dense(C, name="shape_embedding", dtype=self.dtype)(shape_in)
 
-        x_emb = nn.Dense(C, name="param_fc")(nerf_embed(x, self.multires))  # [B, P, C]
+        x_emb = nn.Dense(C, name="param_fc", dtype=self.dtype)(nerf_embed(x, self.multires))
 
         # --- reference-part embedding (:21, 150-156) ---
         ref_table = nn.Embed(2, C, name="ref_part_emb")(ref_part.astype(jnp.int32))
@@ -187,11 +195,12 @@ class DenoiserTransformer(nn.Module):
 
         for i in range(self.num_layers):
             data = EncoderLayer(
-                C, self.num_heads, self.num_timesteps, self.dropout, name=f"layer{i}"
+                C, self.num_heads, self.num_timesteps, self.dropout, self.dtype,
+                name=f"layer{i}",
             )(data, self_bias, gen_bias, timesteps, train)
 
         # --- output heads (:138-147): mean-pool tokens per part, separate trans/rot MLPs ---
-        out = data.reshape(B, P, L, C).mean(axis=2)
-        trans = PoseHead(C, 3, name="mlp_out_trans")(out)
-        rots = PoseHead(C, 4, name="mlp_out_rot")(out)
+        out = data.reshape(B, P, L, C).mean(axis=2).astype(jnp.float32)
+        trans = PoseHead(C, 3, self.dtype, name="mlp_out_trans")(out)
+        rots = PoseHead(C, 4, self.dtype, name="mlp_out_rot")(out)
         return jnp.concatenate([trans, rots], axis=-1)  # [B, P, 7]

@@ -27,6 +27,39 @@ from puzzlefusion_plusplus_tpu.ops.fps import farthest_point_sample
 from puzzlefusion_plusplus_tpu.ops.grouping import sample_and_group
 
 
+def sa_stage_indices(
+    xyz: jnp.ndarray, npoint: int, radius: float, nsample: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(fps_idx [B, S], group_idx [B, S, K]) for one set-abstraction stage.
+
+    FPS and ball query depend only on pairwise distances, so these indices are invariant
+    under rigid rotation of ``xyz`` — the key cache opportunity for the diffusion sampler,
+    which re-encodes re-rotated copies of the same clouds every step (denoiser.py:55-77)."""
+    from puzzlefusion_plusplus_tpu.ops.grouping import index_points, query_ball_point
+
+    fps_idx = farthest_point_sample(xyz, npoint)
+    new_xyz = index_points(xyz, fps_idx)
+    group_idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    return fps_idx, group_idx
+
+
+def pn2_grouping_indices(
+    xyz: jnp.ndarray,
+    num_point: int = 25,
+    sa_npoints: Sequence[int] = (256, 128),
+    sa_nsamples: Sequence[int] = (32, 64, 64),
+) -> tuple:
+    """All three stages' sampling/grouping indices for a cloud (rotation-invariant)."""
+    from puzzlefusion_plusplus_tpu.ops.grouping import index_points
+
+    idx1 = sa_stage_indices(xyz, sa_npoints[0], 0.2, sa_nsamples[0])
+    l1 = index_points(xyz, idx1[0])
+    idx2 = sa_stage_indices(l1, sa_npoints[1], 0.4, sa_nsamples[1])
+    l2 = index_points(l1, idx2[0])
+    idx3 = sa_stage_indices(l2, num_point, 0.8, sa_nsamples[2])
+    return (idx1, idx2, idx3)
+
+
 class PointNetSetAbstraction(nn.Module):
     npoint: int
     radius: float
@@ -34,12 +67,25 @@ class PointNetSetAbstraction(nn.Module):
     mlp: Sequence[int]
 
     @nn.compact
-    def __call__(self, xyz, points, train: bool = False):
-        """xyz: [B, N, 3], points: [B, N, D] or None -> (new_xyz [B, S, 3], feats [B, S, C])."""
-        fps_idx = farthest_point_sample(xyz, self.npoint)
-        new_xyz, grouped = sample_and_group(
-            self.npoint, self.radius, self.nsample, xyz, points, fps_idx
-        )  # grouped: [B, S, K, 3+D]
+    def __call__(self, xyz, points, train: bool = False, idx=None):
+        """xyz: [B, N, 3], points: [B, N, D] or None -> (new_xyz [B, S, 3], feats [B, S, C]).
+
+        ``idx``: optional precomputed (fps_idx, group_idx) from ``sa_stage_indices`` —
+        skips the FPS/ball-query recomputation (identical results for rotated inputs).
+        """
+        from puzzlefusion_plusplus_tpu.ops.grouping import index_points
+
+        if idx is None:
+            idx = sa_stage_indices(xyz, self.npoint, self.radius, self.nsample)
+        fps_idx, group_idx = idx
+        new_xyz = index_points(xyz, fps_idx)
+        grouped_xyz = index_points(xyz, group_idx) - new_xyz[:, :, None, :]
+        if points is not None:
+            grouped = jnp.concatenate(
+                [grouped_xyz, index_points(points, group_idx)], axis=-1
+            )
+        else:
+            grouped = grouped_xyz
         h = grouped
         for i, ch in enumerate(self.mlp):
             h = nn.Dense(ch, name=f"conv{i}")(h)
@@ -72,11 +118,19 @@ class PN2(nn.Module):
         self.fc2 = nn.Dense(512)
         self.fc3 = nn.Dense(self.local_decode_pts * 3)
 
-    def encode(self, xyz, train: bool = False):
-        """xyz: [B, N, 3] -> (z_e [B, L, num_dim], token centers [B, L, 3])."""
-        l1_xyz, l1_points = self.sa1(xyz, None, train)
-        l2_xyz, l2_points = self.sa2(l1_xyz, l1_points, train)
-        l3_xyz, l3_points = self.sa3(l2_xyz, l2_points, train)
+    def grouping_indices(self, xyz):
+        """Rotation-invariant sampling/grouping indices for ``encode``'s three stages."""
+        return pn2_grouping_indices(xyz, self.num_point, self.sa_npoints, self.sa_nsamples)
+
+    def encode(self, xyz, train: bool = False, cached_idx=None):
+        """xyz: [B, N, 3] -> (z_e [B, L, num_dim], token centers [B, L, 3]).
+
+        ``cached_idx``: optional output of ``grouping_indices`` (computed on any rigid
+        rotation of ``xyz``) — removes all FPS/ball-query work from the forward."""
+        i1, i2, i3 = cached_idx if cached_idx is not None else (None, None, None)
+        l1_xyz, l1_points = self.sa1(xyz, None, train, i1)
+        l2_xyz, l2_points = self.sa2(l1_xyz, l1_points, train, i2)
+        l3_xyz, l3_points = self.sa3(l2_xyz, l2_points, train, i3)
         return self.conv6(l3_points), l3_xyz
 
     def decode(self, global_feat):
@@ -158,12 +212,15 @@ class VQVAE(nn.Module):
             self.n_embeddings, self.embedding_dim, self.beta
         )
 
-    def encode(self, part_pcs, train: bool = False):
+    def encode(self, part_pcs, train: bool = False, cached_idx=None):
         """part_pcs: [B, N, 3] -> dict(z_q [B, L, num_dim], xyz [B, L, 3])."""
-        z_e, xyz = self.pn2.encode(part_pcs, train)
+        z_e, xyz = self.pn2.encode(part_pcs, train, cached_idx)
         B, L, _ = z_e.shape
         _, z_q, _, _ = self.vector_quantization(z_e.reshape(B, 4 * L, -1))
         return {"z_q": z_q.reshape(B, L, -1), "xyz": xyz}
+
+    def grouping_indices(self, part_pcs):
+        return self.pn2.grouping_indices(part_pcs)
 
     def decode(self, z_q):
         return self.pn2.decode(z_q)

@@ -91,11 +91,26 @@ def _fps_batched_kernel(
     out_ref[:, :] = acc
 
 
+def _fps_rows_per_block(B: int, N: int, budget_bytes: int = 6 * 2**20) -> int:
+    """Largest sublane-multiple row-block whose ~6 [SB, N] f32 arrays fit the VMEM budget.
+    Blocks must stay small even per-program because vmap composes by adding grid dims, not by
+    fattening blocks — a grid-less call OOMs VMEM the moment it is vmapped."""
+    np_ = N + (-N) % 128
+    sb = max(8, (budget_bytes // (np_ * 4 * 6)) // 8 * 8)
+    bp = B + (-B) % 8
+    return min(sb, bp)
+
+
 def _fps_pallas_batched(xyz: jnp.ndarray, npoint: int, mask: jnp.ndarray) -> jnp.ndarray:
-    """Single-program batched FPS. xyz: [B, N, 3] -> [B, npoint] i32."""
+    """Batched FPS, grid over row-blocks; every block VMEM-resident.
+
+    xyz: [B, N, 3] -> [B, npoint] i32. All clouds in a block advance together each
+    selection; vmap adds grid dimensions (vmap-safe by construction).
+    """
     B, N, _ = xyz.shape
+    SB = _fps_rows_per_block(B, N)
     n_pad = (-N) % 128
-    b_pad = (-B) % 8
+    b_pad = (-B) % SB
     o_pad = (-npoint) % 128
     xt = jnp.pad(xyz.astype(jnp.float32), ((0, b_pad), (0, n_pad), (0, 0)))
     mk = jnp.pad(mask.astype(jnp.float32), ((0, b_pad), (0, n_pad)))
@@ -104,18 +119,22 @@ def _fps_pallas_batched(xyz: jnp.ndarray, npoint: int, mask: jnp.ndarray) -> jnp
         functools.partial(
             _fps_batched_kernel, npoint=npoint, out_pad=npoint + o_pad, n=Np
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(Bp // SB,),
+        in_specs=[
+            pl.BlockSpec((SB, Np), lambda b: (b, 0), memory_space=pltpu.VMEM)
+        ] * 4,
+        out_specs=pl.BlockSpec((SB, npoint + o_pad), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, npoint + o_pad), jnp.int32),
     )(xt[:, :, 0], xt[:, :, 1], xt[:, :, 2], mk)
     return out[:B, :npoint]
 
 
 def _fps_pallas_vmem_bytes(B: int, N: int, npoint: int) -> int:
-    bp = B + (-B) % 8
+    sb = _fps_rows_per_block(B, N)
     np_ = N + (-N) % 128
     op = npoint + (-npoint) % 128
-    return bp * np_ * 4 * 6 + bp * op * 4  # x, y, z, mask, dist, scratch + out
+    return sb * np_ * 4 * 6 + sb * op * 4  # per-block: x, y, z, mask, dist, scratch + out
 
 
 def _fps_kernel(xyz_ref, mask_ref, out_ref, *, npoint: int, n: int):

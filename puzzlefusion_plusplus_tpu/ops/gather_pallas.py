@@ -1,0 +1,90 @@
+"""Batched point gather as a tiled one-hot matmul (Pallas TPU kernel).
+
+XLA's native gather is pathologically slow on TPU for the PointNet++ grouping pattern —
+measured 10-15 ms per call at [160, 1000, C] -> [160, S, K, C] on this chip while moving only
+~16 MB (it is neither MXU nor well-vectorized VPU work). The TPU-native formulation is
+``out[r, c] = onehot[r, n] @ points[n, c]``: build the one-hot rows in-register per tile and
+ride the MXU. Same result bit-exactly (f32 one-hot x f32 values; 1.0 * x + 0.0 * y = x), ~10x
+faster, and the kernel keeps the whole cloud VMEM-resident across row tiles.
+
+Grid = (B, row-tiles); vmap composes by adding grid dimensions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TR = 512  # gathered rows per tile
+
+
+def _gather_kernel(idx_ref, pts_ref, out_ref, *, n: int):
+    # idx_ref: [1, 8, Rp] i32 (row 0 carries the indices), pts_ref: [1, N, C] f32,
+    # out_ref: [1, TR, C] f32
+    #
+    # Bit-exactness: the MXU's single-pass f32 matmul rounds operands to bf16, which would
+    # corrupt gathered values. Instead the f32 payload is split into 4 bytes (integers
+    # 0..255 are exact in bf16), each byte plane is selected with the one-hot matmul, and
+    # the planes are recombined bitwise — exact gather at MXU speed.
+    r = pl.program_id(1)
+    idx = idx_ref[0, 0, pl.ds(r * _TR, _TR)]  # [TR]
+    u = pltpu.bitcast(pts_ref[0, :, :], jnp.int32)  # [N, C] (bit pattern; int32 ops only —
+    # Mosaic has no uint32<->f32 casts, but two's-complement shifts/ors are bit-identical)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_TR, n), 1)
+    onehot = (col == idx[:, None]).astype(jnp.float32)  # [TR, N]
+
+    def select(plane):  # [N, C] f32 with values 0..255 -> [TR, C]
+        return jax.lax.dot_general(
+            onehot, plane, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    g0 = select((u & 0xFF).astype(jnp.float32))
+    g1 = select(((u >> 8) & 0xFF).astype(jnp.float32))
+    g2 = select(((u >> 16) & 0xFF).astype(jnp.float32))
+    g3 = select(((u >> 24) & 0xFF).astype(jnp.float32))
+    lo = (g0 + g1 * 256.0).astype(jnp.int32)  # <= 65535, exact in f32
+    hi = (g2 + g3 * 256.0).astype(jnp.int32)
+    out_ref[0, :, :] = pltpu.bitcast(lo | (hi << 16), jnp.float32)
+
+
+def gather_points_pallas(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """points: [B, N, C] f32, idx: [B, ...] i32 -> [B, ..., C]."""
+    B, N, C = points.shape
+    idx_shape = idx.shape
+    R = 1
+    for d in idx_shape[1:]:
+        R *= d
+    flat_idx = idx.reshape(B, R).astype(jnp.int32)
+
+    r_pad = (-R) % _TR
+    n_pad = (-N) % 128
+    c_pad = (-C) % 128
+    pts = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, n_pad), (0, c_pad)))
+    # indices ride in an 8-sublane carrier (Mosaic block constraint on the trailing dims)
+    fidx = jnp.pad(flat_idx[:, None, :], ((0, 0), (0, 7), (0, r_pad)))
+    Np, Cp, Rp = N + n_pad, C + c_pad, R + r_pad
+
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, n=Np),
+        grid=(B, Rp // _TR),
+        in_specs=[
+            pl.BlockSpec((1, 8, Rp), lambda b, r: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, Cp), lambda b, r: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TR, Cp), lambda b, r: (b, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Rp, Cp), jnp.float32),
+    )(fidx, pts)
+    return out[:, :R, :C].reshape(idx_shape + (C,)).astype(points.dtype)
+
+
+def gather_vmem_bytes(N: int, C: int) -> int:
+    np_ = N + (-N) % 128
+    cp = C + (-C) % 128
+    # cloud + one-hot tile + out tile (f32)
+    return np_ * cp * 4 + _TR * np_ * 4 + _TR * cp * 4

@@ -25,6 +25,7 @@ import numpy as np
 from puzzlefusion_plusplus_tpu.data import DenoiserDataset, Loader
 from puzzlefusion_plusplus_tpu.inference.sampler import (
     FrozenEncoder,
+    build_feature_cache,
     ddpm_sample,
     extract_features,
     make_frozen_encoder,
@@ -71,6 +72,8 @@ def make_model(cfg: Config) -> DenoiserTransformer:
         multires=cfg.denoiser.multires,
         dropout=cfg.denoiser.dropout,
         pe_dropout=cfg.denoiser.pe_dropout,
+        num_timesteps=cfg.denoiser.ddpm_train_steps,
+        dtype=jnp.bfloat16 if cfg.trainer.precision == "bf16" else None,
     )
 
 
@@ -121,10 +124,12 @@ def make_sample_fn(model, encoder: FrozenEncoder, ddpm: DDPMParams, num_inferenc
         reference_vals = jnp.where(ref[..., None], gt, 0.0)
         rng, k = jax.random.split(rng)
         init = jax.random.normal(k, gt.shape, gt.dtype)
+        # grouping indices are rotation-invariant: build once, reuse across all 20 steps
+        cache = build_feature_cache(encoder, batch["part_pcs"], batch["part_valids"])
 
         def denoise_fn(noisy, t):
             latent, xyz = extract_features(
-                encoder, batch["part_pcs"], batch["part_valids"], noisy
+                encoder, batch["part_pcs"], batch["part_valids"], noisy, cache
             )
             return model.apply(
                 {"params": params}, noisy, t, latent, xyz,

@@ -140,3 +140,32 @@ class TestVerifier:
         np.testing.assert_allclose(
             np.asarray(logits)[vmask], np.asarray(logits2)[vmask], atol=1e-4
         )
+
+
+def test_cached_grouping_indices_match_uncached():
+    """FPS/ball-query indices are rotation-invariant: encoding with a cache built on the
+    unrotated cloud must equal the uncached encode of the rotated cloud."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from puzzlefusion_plusplus_tpu.inference.sampler import (
+        build_feature_cache,
+        extract_features,
+        make_frozen_encoder,
+    )
+    from puzzlefusion_plusplus_tpu.models.vqvae import VQVAE
+
+    ae = VQVAE(n_embeddings=32, embedding_dim=16, num_point=25, num_dim=64,
+               sa_npoints=(32, 16), sa_nsamples=(8, 8, 8))
+    v = ae.init(jax.random.key(0), jnp.zeros((1, 128, 3)), train=False)
+    enc = make_frozen_encoder(ae, v["params"], v.get("batch_stats", {}))
+    rng = np.random.default_rng(0)
+    pcs = jnp.asarray(rng.normal(size=(1, 4, 128, 3)).astype(np.float32))
+    valids = jnp.asarray([[1.0, 1.0, 1.0, 0.0]])
+    noisy = jnp.asarray(rng.normal(size=(1, 4, 7)).astype(np.float32))
+    cache = build_feature_cache(enc, pcs, valids)
+    l1, x1 = extract_features(enc, pcs, valids, noisy)
+    l2, x2 = extract_features(enc, pcs, valids, noisy, cache)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-5)

@@ -1,0 +1,84 @@
+"""Multi-device (8 virtual CPU devices) tests: DP training step and sharded inference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from puzzlefusion_plusplus_tpu.parallel import (
+    batch_sharding,
+    data_parallel_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return data_parallel_mesh(8)
+
+
+def test_verifier_train_step_sharded(mesh8):
+    """Full verifier train step over a data-sharded batch: the gradient all-reduce is
+    emitted by XLA (the DDP equivalence claim in parallel/mesh.py)."""
+    from puzzlefusion_plusplus_tpu.models.verifier import VerifierTransformer
+    from puzzlefusion_plusplus_tpu.training.state import adamw_reference, create_state
+    from puzzlefusion_plusplus_tpu.training.verifier import train_step
+
+    model = VerifierTransformer(embed_dim=32, num_layers=1, num_heads=2, max_nodes=6,
+                                ff_dim=64)
+    E = 15
+    tx = adamw_reference(1e-3)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, E, 7)), jnp.zeros((1, E, 2), jnp.int32),
+        jnp.ones((1, E)), train=False,
+    )
+    state = replicate(create_state(variables, tx), mesh8)
+    rng = np.random.default_rng(0)
+    batch = {
+        "edge_features": rng.normal(size=(8, E, 7)).astype(np.float32),
+        "edge_indices": rng.integers(0, 6, size=(8, E, 2)),
+        "edge_valids": np.ones((8, E), np.float32),
+        "cls_gt": rng.integers(0, 2, size=(8, E)).astype(np.float32),
+    }
+    params0 = jax.device_get(variables["params"])  # pristine host copy (state is donated)
+    sharded = shard_batch(batch, mesh8)
+    assert sharded["edge_features"].sharding == batch_sharding(mesh8)
+    state2, metrics = train_step(state, sharded, jax.random.key(1), model, tx, 0.2)
+    assert np.isfinite(float(metrics["cls_loss"]))
+    assert int(state2.step) == 1
+    # sharded-vs-unsharded equivalence: the same loss_fn on the undistributed batch must
+    # agree — XLA's cross-device reduction is semantically the global computation
+    from puzzlefusion_plusplus_tpu.training.verifier import loss_fn
+
+    loss_ref, _ = loss_fn(
+        jax.tree.map(jnp.asarray, params0), model,
+        {k: jnp.asarray(v) for k, v in batch.items()}, 0.2, True, jax.random.key(1),
+    )
+    np.testing.assert_allclose(float(metrics["cls_loss"]), float(loss_ref), rtol=1e-5)
+
+
+def test_sampler_sharded_batch(mesh8):
+    """The 20-step reverse-diffusion sampler over a batch sharded across 8 devices."""
+    from puzzlefusion_plusplus_tpu.inference.sampler import ddpm_sample
+    from puzzlefusion_plusplus_tpu.models.scheduler import DDPMParams, leading_timesteps
+
+    ddpm = DDPMParams.piecewise(100)
+    timesteps = jnp.asarray(leading_timesteps(100, 5))
+    B, P = 8, 4
+    rng = np.random.default_rng(1)
+    init = jnp.asarray(rng.normal(size=(B, P, 7)).astype(np.float32))
+    ref = jnp.zeros((B, P), bool)
+    init = jax.device_put(init, batch_sharding(mesh8))
+
+    def denoise_fn(noisy, t):
+        return noisy * 0.1  # trivial epsilon head; exercises the scan + sharding only
+
+    final, traj = ddpm_sample(
+        denoise_fn, ddpm, timesteps, init, ref, jnp.zeros((B, P, 7)), jax.random.key(0), 5
+    )
+    assert final.shape == (B, P, 7)
+    assert traj.shape == (5, B, P, 7)
+    assert np.isfinite(np.asarray(final)).all()

@@ -53,3 +53,21 @@ def test_fps_pallas_batched_parity():
     fv = jax.vmap(lambda xx, mm: _fps_pallas_batched(xx, 64, mm))(x4, m4)
     ref = jnp.stack([farthest_point_sample_xla(x4[i], 64, m4[i]) for i in range(2)])
     np.testing.assert_array_equal(np.asarray(fv), np.asarray(ref))
+
+
+def test_gather_pallas_exact():
+    import jax
+
+    from puzzlefusion_plusplus_tpu.ops.gather_pallas import gather_points_pallas
+
+    pts = jnp.array(RNG.standard_normal((4, 300, 67)).astype(np.float32))
+    idx = jnp.array(RNG.integers(0, 300, size=(4, 33, 7)).astype(np.int32))
+    out = gather_points_pallas(pts, idx)
+    ref = jax.vmap(lambda p, i: p[i])(pts, idx)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # vmapped
+    pts4 = jnp.array(RNG.standard_normal((2, 3, 128, 16)).astype(np.float32))
+    idx4 = jnp.array(RNG.integers(0, 128, size=(2, 3, 11, 5)).astype(np.int32))
+    outv = jax.vmap(lambda p, i: gather_points_pallas(p, i))(pts4, idx4)
+    refv = jax.vmap(jax.vmap(lambda p, i: p[i]))(pts4, idx4)
+    np.testing.assert_array_equal(np.asarray(outv), np.asarray(refv))
