@@ -180,7 +180,6 @@ def convert_file(torch_ckpt_path: str, out_dir: str, kind: str) -> str:
     """
     import torch
 
-    from puzzlefusion_plusplus_tpu.training.state import save_checkpoint  # noqa: F401
     import orbax.checkpoint as ocp
     import os
 

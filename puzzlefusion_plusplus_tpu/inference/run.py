@@ -12,7 +12,6 @@ batch size 1 on one GPU, docs/test.md:8); assemblies/sec scales with chips.
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 
@@ -22,7 +21,6 @@ import numpy as np
 
 from puzzlefusion_plusplus_tpu.data import DenoiserDataset, Loader
 from puzzlefusion_plusplus_tpu.inference.engine import AgglConfig, auto_agglomerate
-from puzzlefusion_plusplus_tpu.inference.sampler import FrozenEncoder
 from puzzlefusion_plusplus_tpu.models.scheduler import DDPMParams
 from puzzlefusion_plusplus_tpu.training.denoiser import (
     load_frozen_encoder,

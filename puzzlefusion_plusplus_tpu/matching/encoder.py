@@ -29,8 +29,10 @@ _BIG = 1e6
 
 
 def _gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """points: [B, N, C], idx: [B, ...] -> [B, ..., C]."""
-    return jax.vmap(lambda p, i: p[i])(points, idx)
+    """points: [B, N, C], idx: [B, ...] -> [B, ..., C] (Pallas one-hot gather on TPU)."""
+    from puzzlefusion_plusplus_tpu.ops.grouping import index_points
+
+    return index_points(points, idx)
 
 
 def piece_aware_sqdist(src, dst, src_pid, dst_pid):

@@ -19,11 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from puzzlefusion_plusplus_tpu.data.loader import Loader
-from puzzlefusion_plusplus_tpu.matching import ops as mops
 from puzzlefusion_plusplus_tpu.matching.alignment import global_alignment, weighted_horn
 from puzzlefusion_plusplus_tpu.matching.dataset import AllPieceMatchingDataset
 from puzzlefusion_plusplus_tpu.matching.sinkhorn import _hungarian_host
-from puzzlefusion_plusplus_tpu.training.state import load_model_params
 
 
 def _ransac_numpy(src, tgt, rng, iters=128, threshold=0.02):

@@ -96,11 +96,13 @@ class PointTransformerLayer(nn.Module):
         x_k = nn.Dense(C, name="linear_k")(feats)
         x_v = nn.Dense(C, name="linear_v")(feats)
 
+        from puzzlefusion_plusplus_tpu.ops.grouping import index_points
+
         _, idx = knn_piece_aware(xyz, pid, self.n_sample)  # [B, N, k] same-piece knn
         # gather neighbors: [B, N, k, C] / [B, N, k, 3]
-        k_nbr = jax.vmap(lambda a, i: a[i])(x_k, idx)
-        v_nbr = jax.vmap(lambda a, i: a[i])(x_v, idx)
-        p_nbr = jax.vmap(lambda a, i: a[i])(xyz, idx) - xyz[:, :, None, :]
+        k_nbr = index_points(x_k, idx)
+        v_nbr = index_points(x_v, idx)
+        p_nbr = index_points(xyz, idx) - xyz[:, :, None, :]
 
         # linear_p: Linear(3,3) -> BN -> ReLU -> Linear(3, C)   (reference :178-183)
         p_r = nn.Dense(3, name="linear_p0")(p_nbr)

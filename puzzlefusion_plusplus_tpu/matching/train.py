@@ -22,7 +22,6 @@ from puzzlefusion_plusplus_tpu.matching.dataset import AllPieceMatchingDataset
 from puzzlefusion_plusplus_tpu.matching.model import (
     JigsawModel,
     gt_permutation,
-    matching_f1,
     permutation_loss,
     rigid_loss_pairs,
 )
@@ -33,7 +32,6 @@ from puzzlefusion_plusplus_tpu.training.state import (
     save_checkpoint,
 )
 from puzzlefusion_plusplus_tpu.training.verifier import binary_cls_metrics
-from puzzlefusion_plusplus_tpu.utils.config import Config, apply_overrides
 
 
 def make_model(pc_feat_dim=128, aff_feat_dim=512, encoder="pointnet2",

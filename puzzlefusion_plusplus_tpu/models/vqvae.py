@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from puzzlefusion_plusplus_tpu.ops.fps import farthest_point_sample
-from puzzlefusion_plusplus_tpu.ops.grouping import sample_and_group
 
 
 def sa_stage_indices(
@@ -170,7 +169,7 @@ class VectorQuantizer(nn.Module):
             - 2.0 * flat @ codebook.T
         )
         idx = jnp.argmin(d, axis=1)
-        z_q = codebook[idx].reshape(z.shape)
+        z_q = jnp.take(codebook, idx, axis=0).reshape(z.shape)
 
         sq_to_code = (jax.lax.stop_gradient(z_q) - z) ** 2
         sq_to_z = (z_q - jax.lax.stop_gradient(z)) ** 2

@@ -88,3 +88,77 @@ def gather_vmem_bytes(N: int, C: int) -> int:
     cp = C + (-C) % 128
     # cloud + one-hot tile + out tile (f32)
     return np_ * cp * 4 + _TR * np_ * 4 + _TR * cp * 4
+
+
+# ---------------------------------------------------------------- backward (scatter-add)
+
+
+def _scatter_add_kernel(idx_ref, g_ref, out_ref, *, n: int, r_tiles: int):
+    # idx_ref: [1, 8, Rp], g_ref: [1, TR, C] (per-tile block), out_ref: [1, N, C]
+    # (out block is revisited across the r grid dim and accumulated in place)
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        out_ref[0, :, :] = jnp.zeros_like(out_ref[0, :, :])
+
+    idx = idx_ref[0, 0, pl.ds(r * _TR, _TR)]  # [TR]
+    g = g_ref[0, :, :]  # [TR, C]
+    col = jax.lax.broadcasted_iota(jnp.int32, (_TR, n), 1)
+    onehot = (col == idx[:, None]).astype(jnp.float32)  # [TR, N]
+    # dpts[n, c] += sum_r onehot[r, n] * g[r, c]; f32 accumulation (grad precision: the
+    # operand rounding of the MXU applies to g, which is standard mixed-precision behavior)
+    out_ref[0, :, :] += jax.lax.dot_general(
+        onehot, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _gather_bwd_pallas(idx: jnp.ndarray, g: jnp.ndarray, N: int) -> jnp.ndarray:
+    """idx: [B, ...], cotangent g: [B, ..., C] -> dpoints [B, N, C] via scatter-add."""
+    B = idx.shape[0]
+    C = g.shape[-1]
+    R = 1
+    for d in idx.shape[1:]:
+        R *= d
+    flat_idx = idx.reshape(B, R).astype(jnp.int32)
+    flat_g = g.reshape(B, R, C).astype(jnp.float32)
+    r_pad = (-R) % _TR
+    n_pad = (-N) % 128
+    c_pad = (-C) % 128
+    # padded rows scatter into index 0 with a zero cotangent (g padded with zeros) — harmless
+    fidx = jnp.pad(flat_idx[:, None, :], ((0, 0), (0, 7), (0, r_pad)))
+    fg = jnp.pad(flat_g, ((0, 0), (0, r_pad), (0, c_pad)))
+    Np, Cp, Rp = N + n_pad, C + c_pad, R + r_pad
+    out = pl.pallas_call(
+        functools.partial(_scatter_add_kernel, n=Np, r_tiles=Rp // _TR),
+        grid=(B, Rp // _TR),
+        in_specs=[
+            pl.BlockSpec((1, 8, Rp), lambda b, r: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TR, Cp), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Np, Cp), lambda b, r: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, Cp), jnp.float32),
+    )(fidx, fg)
+    return out[:, :N, :C]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable exact gather (forward: one-hot matmul; backward: scatter-add)."""
+    return gather_points_pallas(points, idx)
+
+
+def _gather_fwd(points, idx):
+    # residuals must be JAX types: a zero-size array carries N and dtype statically
+    shape_token = jnp.zeros((points.shape[1], 0), points.dtype)
+    return gather_points_pallas(points, idx), (idx, shape_token)
+
+
+def _gather_bwd(res, g):
+    idx, shape_token = res
+    return _gather_bwd_pallas(idx, g, shape_token.shape[0]).astype(shape_token.dtype), None
+
+
+gather_points.defvjp(_gather_fwd, _gather_bwd)

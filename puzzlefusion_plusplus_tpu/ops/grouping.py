@@ -35,7 +35,7 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """
     if jax.default_backend() == "tpu" and points.ndim == 3:
         from puzzlefusion_plusplus_tpu.ops.gather_pallas import (
-            gather_points_pallas,
+            gather_points,
             gather_vmem_bytes,
         )
 
@@ -43,7 +43,7 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         if gather_vmem_bytes(N, C) < 10 * 2**20 and jnp.issubdtype(
             points.dtype, jnp.floating
         ):
-            return gather_points_pallas(points, idx)
+            return gather_points(points, idx)
     return jax.vmap(lambda p, i: p[i])(points, idx)
 
 

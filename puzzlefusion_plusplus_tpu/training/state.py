@@ -118,7 +118,12 @@ def resolve_checkpoint_path(path: str) -> str:
 
 def load_checkpoint(path: str) -> dict:
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(resolve_checkpoint_path(path))
+    restored = ckptr.restore(resolve_checkpoint_path(path))
+    # orbax restores numpy arrays; convert to jax arrays so restored params compose with
+    # traced indexing (e.g. codebook[idx] under jit) exactly like freshly-initialized ones
+    return jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, restored
+    )
 
 
 def load_model_params(path: str) -> tuple[Any, Any]:
@@ -130,16 +135,29 @@ def load_model_params(path: str) -> tuple[Any, Any]:
 def maybe_restore(state: TrainState, ckpt_dir: str, explicit_path: str = "") -> TrainState:
     """Auto-resume: restore from an explicit path or the mtime-latest checkpoint in
     ``ckpt_dir`` (the reference's resume rule, train_matching.py:77-101). Returns the
-    state unchanged when nothing exists."""
+    state unchanged when nothing exists.
+
+    Restores against the live state's pytree structure so optax NamedTuple states come back
+    as NamedTuples, not the plain dicts a structure-free orbax restore would produce."""
     path = explicit_path or latest_checkpoint(ckpt_dir)
     if not path:
         return state
-    restored = load_checkpoint(path)
+    target = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": 0,
+    }
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(resolve_checkpoint_path(path), target)
+    restored = jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, restored
+    )
     print(f"resuming from {path} (step {restored['step']})", flush=True)
     return TrainState(
         params=restored["params"],
-        batch_stats=restored.get("batch_stats", state.batch_stats),
-        opt_state=restored.get("opt_state", state.opt_state),
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
         step=jnp.asarray(restored["step"], jnp.int32),
     )
 

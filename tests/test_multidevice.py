@@ -82,3 +82,36 @@ def test_sampler_sharded_batch(mesh8):
     assert final.shape == (B, P, 7)
     assert traj.shape == (5, B, P, 7)
     assert np.isfinite(np.asarray(final)).all()
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """save -> maybe_restore must reproduce the optax NamedTuple structure exactly."""
+    import optax
+
+    from puzzlefusion_plusplus_tpu.models.verifier import VerifierTransformer
+    from puzzlefusion_plusplus_tpu.training.state import (
+        adamw_reference,
+        create_state,
+        maybe_restore,
+        save_checkpoint,
+    )
+
+    model = VerifierTransformer(embed_dim=32, num_layers=1, num_heads=2, max_nodes=6,
+                                ff_dim=64)
+    tx = adamw_reference(1e-3)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 15, 7)), jnp.zeros((1, 15, 2), jnp.int32),
+        jnp.ones((1, 15)), train=False,
+    )
+    state = create_state(variables, tx)
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+    save_checkpoint(str(tmp_path / "ckpt"), state, 7)
+
+    fresh = create_state(jax.tree.map(jnp.array, variables), tx)
+    restored = maybe_restore(fresh, str(tmp_path / "ckpt"))
+    assert int(restored.step) == 7
+    assert jax.tree.structure(restored.opt_state) == jax.tree.structure(state.opt_state)
+    # the restored state must be usable by the optimizer immediately
+    grads = jax.tree.map(jnp.zeros_like, restored.params)
+    updates, _ = tx.update(grads, restored.opt_state, restored.params)
+    assert jax.tree.structure(updates) == jax.tree.structure(restored.params)
