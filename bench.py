@@ -27,6 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: the engine program costs ~5 min of XLA:TPU compile; repeat
+# bench invocations (driver rounds) hit the cache instead
+jax.config.update("jax_compilation_cache_dir", os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/pfpp_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 # Measured with `python bench.py --cpu-baseline` on this build host (batch=1 engine on CPU,
 # runs of 308-473 s per assembly): {"value": 0.0032, "backend": "cpu", "batch": 1}.
 REFERENCE_CPU_ASSEMBLIES_PER_SEC = 0.0032
