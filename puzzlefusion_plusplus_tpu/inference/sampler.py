@@ -32,8 +32,66 @@ class FrozenEncoder(NamedTuple):
     num_dim: int
 
 
-def make_frozen_encoder(model, params, batch_stats) -> FrozenEncoder:
+def _make_fused_encode(model, params, batch_stats):
+    """Pure fused-eval encode from folded params (ops/sa_fused_pallas.py): per-step cost is
+    three fused SA kernels + one Dense + the codebook argmin — no HBM round trips for the
+    grouped activations. Requires cached grouping indices (rotation-invariant)."""
+    from puzzlefusion_plusplus_tpu.ops.grouping import index_points
+    from puzzlefusion_plusplus_tpu.ops.sa_fused_pallas import fold_batchnorm, sa_stage_fused
+
+    p = params["pn2"]
+    bs = batch_stats["pn2"]
+
+    def fold(sa):
+        return [
+            fold_batchnorm(
+                p[sa][f"conv{j}"]["kernel"], p[sa][f"conv{j}"]["bias"],
+                p[sa][f"bn{j}"]["scale"], p[sa][f"bn{j}"]["bias"],
+                bs[sa][f"bn{j}"]["mean"], bs[sa][f"bn{j}"]["var"],
+            )
+            for j in range(3)
+        ]
+
+    w_sa = {sa: fold(sa) for sa in ("sa1", "sa2", "sa3")}
+    conv6_k = p["conv6"]["kernel"]
+    conv6_b = p["conv6"]["bias"]
+    codebook = params["vector_quantization"]["embedding"]
+    e_dim = codebook.shape[1]
+
+    def encode(flat_pcs, cached_idx):
+        (i1, g1), (i2, g2), (i3, g3) = cached_idx
+        f1 = sa_stage_fused(flat_pcs, i1, g1, w_sa["sa1"])
+        x1 = index_points(flat_pcs, i1)
+        f2 = sa_stage_fused(jnp.concatenate([x1, f1], -1), i2, g2, w_sa["sa2"])
+        x2 = index_points(x1, i2)
+        f3 = sa_stage_fused(jnp.concatenate([x2, f2], -1), i3, g3, w_sa["sa3"])
+        x3 = index_points(x2, i3)
+        z_e = f3 @ conv6_k + conv6_b  # [M, L, num_dim]
+        M, L, _ = z_e.shape
+        z = z_e.reshape(M, -1, e_dim)
+        d = (
+            jnp.sum(z**2, -1, keepdims=True)
+            + jnp.sum(codebook**2, -1)
+            - 2.0 * jnp.einsum("mtc,ec->mte", z, codebook)
+        )
+        z_q = jnp.take(codebook, jnp.argmin(d, -1), axis=0)
+        return {"z_q": z_q.reshape(M, L, -1), "xyz": x3}
+
+    return encode
+
+
+def make_frozen_encoder(model, params, batch_stats, fused: str = "never") -> FrozenEncoder:
+    """``fused``: 'always' runs the single-kernel fused SA path (ops/sa_fused_pallas.py) on
+    TPU when cached grouping indices are supplied. Measured on this chip the composable path
+    with the Pallas one-hot gather is FASTER (25.5 vs 32.7 ms/step at engine batch 8 — the
+    gather matmuls are FLOP-bound, so fusing away HBM traffic doesn't pay), hence the
+    default is 'never'; the fused kernel remains for architectures where HBM dominates."""
+    use_fused = fused == "always" and batch_stats and jax.default_backend() == "tpu"
+    fused_encode = _make_fused_encode(model, params, batch_stats) if use_fused else None
+
     def apply(flat_pcs, cached_idx=None):
+        if fused_encode is not None and cached_idx is not None:
+            return fused_encode(flat_pcs, cached_idx)
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             flat_pcs,

@@ -71,3 +71,35 @@ def test_gather_pallas_exact():
     outv = jax.vmap(lambda p, i: gather_points_pallas(p, i))(pts4, idx4)
     refv = jax.vmap(jax.vmap(lambda p, i: p[i]))(pts4, idx4)
     np.testing.assert_array_equal(np.asarray(outv), np.asarray(refv))
+
+
+def test_sa_stage_fused_parity():
+    """Fused SA kernel == composable eval stage (BN-folded) within MXU float tolerance."""
+    import jax
+    import flax.linen as nn
+
+    from puzzlefusion_plusplus_tpu.models.vqvae import (
+        PointNetSetAbstraction,
+        sa_stage_indices,
+    )
+    from puzzlefusion_plusplus_tpu.ops.sa_fused_pallas import fold_batchnorm, sa_stage_fused
+
+    M, N, D = 4, 256, 16
+    xyz = jnp.array(RNG.standard_normal((M, N, 3)).astype(np.float32))
+    feats = jnp.array(RNG.standard_normal((M, N, D)).astype(np.float32))
+    stage = PointNetSetAbstraction(npoint=32, radius=0.4, nsample=32, mlp=(32, 32, 64))
+    variables = stage.init(jax.random.key(0), xyz, feats, train=False)
+    idx = sa_stage_indices(xyz, 32, 0.4, 32)
+    new_xyz, ref = stage.apply(variables, xyz, feats, train=False, idx=idx)
+
+    p, bs = variables["params"], variables["batch_stats"]
+    weights = [
+        fold_batchnorm(
+            p[f"conv{j}"]["kernel"], p[f"conv{j}"]["bias"],
+            p[f"bn{j}"]["scale"], p[f"bn{j}"]["bias"],
+            bs[f"bn{j}"]["mean"], bs[f"bn{j}"]["var"],
+        )
+        for j in range(3)
+    ]
+    out = sa_stage_fused(jnp.concatenate([xyz, feats], -1), idx[0], idx[1], weights)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2, rtol=3e-2)
