@@ -84,11 +84,15 @@ def load_pc_data_dir(data_dir: str, overfit: int = -1) -> list[dict]:
 
 class VQVAEDataset:
     def __init__(self, data_dir: str, max_num_part: int = 20, min_num_part: int = 2,
-                 overfit: int = -1):
+                 overfit: int = -1, category: str = ""):
+        """``category``: restrict to one Breaking Bad category ('' or 'all' = everything,
+        reference vqvae/dataset/pc_dataset.py:29)."""
         self.max_num_part = max_num_part
+        cat = "" if category.lower() == "all" else category
         self.data_list = [
             s for s in load_pc_data_dir(data_dir, overfit)
             if min_num_part <= int(s["num_parts"]) <= max_num_part
+            and (not cat or str(s.get("category", "")) == cat)
         ]
 
     def __len__(self):
