@@ -318,32 +318,43 @@ def verify_and_merge(
     new_area = area_world - centroid[labels][:, None, :]
     area_pts = jnp.where(part_merges[:, None, None], new_area, state.area_pts)
 
-    # ---- interpenetration filter (node_merge_utils.py:159-222)
-    normals = estimate_pointcloud_normals(transformed_pts, cfg.normals_k)
-    same_comp = labels[:, None] == labels[None, :]
-    pair_active = (
-        same_comp
-        & state.node_valids[:, None] & state.node_valids[None, :]
-        & ~jnp.eye(P, dtype=bool)
-        & part_merges[:, None] & part_merges[None, :]
-    )
-    keep = interpenetration_keep_mask(
-        transformed_pts, normals, pair_active, cfg.intersect_threshold
-    )  # [P, N]
+    # ---- heavy merge geometry (interpenetration filter + FPS resample), gated on whether
+    # ANY component merges this iteration — in typical runs most iterations merge nothing,
+    # so the lax.cond skips the [P, P, N] pairwise distances, normals, and the FPS loop
+    def merge_geometry(_):
+        # interpenetration filter (node_merge_utils.py:159-222)
+        normals = estimate_pointcloud_normals(transformed_pts, cfg.normals_k)
+        same_comp = labels[:, None] == labels[None, :]
+        pair_active = (
+            same_comp
+            & state.node_valids[:, None] & state.node_valids[None, :]
+            & ~jnp.eye(P, dtype=bool)
+            & part_merges[:, None] & part_merges[None, :]
+        )
+        keep = interpenetration_keep_mask(
+            transformed_pts, normals, pair_active, cfg.intersect_threshold
+        )  # [P, N]
 
-    # ---- FPS the merged cloud of every label back to N points (translation-invariant, so we
-    # sample on the un-recentered world points with per-label masks)
-    flat_pts = transformed_pts.reshape(P * N, 3)
-    fps_mask = (
-        member[:, :, None] & state.node_valids[None, :, None] & keep[None]
-    ).reshape(P, P * N)  # [label, P*N]
-    fps_mask = fps_mask & merging[:, None]
-    fps_idx = farthest_point_sample(
-        jnp.broadcast_to(flat_pts[None], (P, P * N, 3)), N, mask=fps_mask
-    )  # [label, N]
-    merged = flat_pts[fps_idx] - centroid[:, None, :]  # [label, N, 3]
-    merge_scale = jnp.abs(merged).max(axis=(1, 2))  # [label]
-    merged = merged / jnp.maximum(merge_scale[:, None, None], 1e-12)
+        # FPS the merged cloud of every label back to N points (translation-invariant, so
+        # we sample on the un-recentered world points with per-label masks)
+        flat_pts = transformed_pts.reshape(P * N, 3)
+        fps_mask = (
+            member[:, :, None] & state.node_valids[None, :, None] & keep[None]
+        ).reshape(P, P * N)  # [label, P*N]
+        fps_mask = fps_mask & merging[:, None]
+        fps_idx = farthest_point_sample(
+            jnp.broadcast_to(flat_pts[None], (P, P * N, 3)), N, mask=fps_mask
+        )  # [label, N]
+        merged_ = flat_pts[fps_idx] - centroid[:, None, :]  # [label, N, 3]
+        merge_scale_ = jnp.abs(merged_).max(axis=(1, 2))  # [label]
+        return merged_ / jnp.maximum(merge_scale_[:, None, None], 1e-12), merge_scale_
+
+    merged, merge_scale = jax.lax.cond(
+        part_merges.any(),
+        merge_geometry,
+        lambda _: (jnp.zeros((P, N, 3), transformed_pts.dtype), jnp.zeros(P)),
+        operand=None,
+    )
 
     # ---- commit merged clouds at each merging label's pivot part
     is_new_pivot = part_merges & (label_pivot[labels] == jnp.arange(P))  # [P]
