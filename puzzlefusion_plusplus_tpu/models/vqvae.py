@@ -72,7 +72,10 @@ class PointNetSetAbstraction(nn.Module):
         ``idx``: optional precomputed (fps_idx, group_idx) from ``sa_stage_indices`` —
         skips the FPS/ball-query recomputation (identical results for rotated inputs).
         """
-        from puzzlefusion_plusplus_tpu.ops.grouping import index_points
+        from puzzlefusion_plusplus_tpu.ops.grouping import (
+            index_points,
+            index_points_matmul_safe,
+        )
 
         if idx is None:
             idx = sa_stage_indices(xyz, self.npoint, self.radius, self.nsample)
@@ -80,8 +83,9 @@ class PointNetSetAbstraction(nn.Module):
         new_xyz = index_points(xyz, fps_idx)
         grouped_xyz = index_points(xyz, group_idx) - new_xyz[:, :, None, :]
         if points is not None:
+            # feature channels go straight into the first Dense -> matmul-safe approx gather
             grouped = jnp.concatenate(
-                [grouped_xyz, index_points(points, group_idx)], axis=-1
+                [grouped_xyz, index_points_matmul_safe(points, group_idx)], axis=-1
             )
         else:
             grouped = grouped_xyz

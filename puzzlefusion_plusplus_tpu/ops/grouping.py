@@ -75,6 +75,25 @@ def query_ball_point(
     return group_idx
 
 
+def index_points_matmul_safe(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather for values that feed DIRECTLY into an MXU matmul (e.g. grouped features into
+    a Dense layer). On TPU uses the single-matmul approx gather — its bf16 operand rounding
+    is exactly the rounding the consuming matmul applies, so results are unchanged at ~4x
+    fewer gather FLOPs. Falls back to the exact path elsewhere."""
+    if jax.default_backend() == "tpu" and points.ndim == 3:
+        from puzzlefusion_plusplus_tpu.ops.gather_pallas import (
+            gather_points_approx,
+            gather_vmem_bytes,
+        )
+
+        N, C = points.shape[1], points.shape[2]
+        if gather_vmem_bytes(N, C) < 10 * 2**20 and jnp.issubdtype(
+            points.dtype, jnp.floating
+        ):
+            return gather_points_approx(points, idx)
+    return index_points(points, idx)
+
+
 def knn_points(
     query: jnp.ndarray,
     points: jnp.ndarray,
