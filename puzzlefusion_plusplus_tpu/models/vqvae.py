@@ -110,12 +110,17 @@ class PN2(nn.Module):
     sa_nsamples: Sequence[int] = (32, 64, 64)  # neighborhood sizes per stage
 
     def setup(self):
-        self.sa1 = PointNetSetAbstraction(self.sa_npoints[0], 0.2, self.sa_nsamples[0],
-                                          (64, 64, 128))
-        self.sa2 = PointNetSetAbstraction(self.sa_npoints[1], 0.4, self.sa_nsamples[1],
-                                          (128, 128, 256))
-        self.sa3 = PointNetSetAbstraction(self.num_point, 0.8, self.sa_nsamples[2],
-                                          (256, 256, 512))
+        # remat each SA stage: the grouped [M, S, K, C] activations are the largest tensors
+        # in the program (7 GB at the reference's global batch for SA2's conv2 alone) —
+        # saving them for backward OOMs HBM at reference batch sizes, recomputing them is
+        # nearly free (jax.checkpoint == the brief's remat-for-memory tradeoff)
+        SA = nn.remat(PointNetSetAbstraction, static_argnums=(3,))
+        self.sa1 = SA(self.sa_npoints[0], 0.2, self.sa_nsamples[0],
+                      (64, 64, 128))
+        self.sa2 = SA(self.sa_npoints[1], 0.4, self.sa_nsamples[1],
+                      (128, 128, 256))
+        self.sa3 = SA(self.num_point, 0.8, self.sa_nsamples[2],
+                      (256, 256, 512))
         self.conv6 = nn.Dense(self.num_dim)
         self.fc1 = nn.Dense(256)
         self.fc2 = nn.Dense(512)

@@ -88,6 +88,10 @@ def loss_fn(params, model, encoder: FrozenEncoder, ddpm: DDPMParams, batch, rng,
     noisy = jnp.where(ref[..., None], gt, noisy)
 
     latent, xyz = extract_features(encoder, batch["part_pcs"], batch["part_valids"], noisy)
+    # the encoder is FROZEN (reference train_denoiser.py:30-35 requires_grad=False): without
+    # stop_gradient JAX still materializes the whole encoder backward for zero trainable grads
+    latent = jax.lax.stop_gradient(latent)
+    xyz = jax.lax.stop_gradient(xyz)
     pred = model.apply(
         {"params": params},
         noisy, timesteps, latent, xyz,
