@@ -23,6 +23,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if "--help" in sys.argv or "-h" in sys.argv:
+    # cheap smoke path (tests/test_graft_entry.py): no jax import, no device touch
+    print(__doc__)
+    print("usage: bench.py [--cpu-baseline]  # env: PFPP_BENCH_BATCH, PFPP_BENCH_REPEATS,"
+          " PFPP_BENCH_DATA, PFPP_BENCH_PRECISION")
+    sys.exit(0)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
