@@ -41,7 +41,7 @@ class AdaLayerNorm(nn.Module):
         emb = nn.Embed(self.num_embeddings, self.dim, name="emb", dtype=self.dtype)(timestep)
         emb = nn.Dense(2 * self.dim, name="linear", dtype=self.dtype)(nn.silu(emb))
         scale, shift = jnp.split(emb, 2, axis=-1)
-        x = nn.LayerNorm(use_bias=False, use_scale=False)(x)
+        x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-5)(x)
         return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
@@ -115,7 +115,7 @@ class EncoderLayer(nn.Module):
         )
         x = x + MultiHeadAttention(self.dim, self.num_heads, self.dropout, self.dtype,
                                    name="global_attn")(h, gen_bias, train)
-        h = nn.LayerNorm(name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         x = x + GEGLUFeedForward(self.dim, self.dropout, dtype=self.dtype, name="ff")(h, train)
         return x
 
@@ -145,7 +145,11 @@ class DenoiserTransformer(nn.Module):
     multires: int = 10
     dropout: float = 0.2
     pe_dropout: float = 0.1
-    num_timesteps: int = 1000  # AdaLayerNorm embedding table size (DDPM_TRAIN_STEPS)
+    # AdaLayerNorm embedding table size. The reference sizes it at 6*embed_dim (3072 for the
+    # 512-wide model, denoiser_transformer.py:24 ``num_embeds_ada_norm = 6*model_channels``)
+    # even though timesteps only reach 999 — the released checkpoints carry [3072, 512] tables,
+    # so conversion requires matching rows. 0 means "use 6 * embed_dim".
+    num_ada_embeds: int = 0
     dtype: object = None  # compute dtype (jnp.bfloat16 for mixed precision); params stay fp32
 
     @nn.compact
@@ -193,9 +197,10 @@ class DenoiserTransformer(nn.Module):
         tok_valid = jnp.repeat(part_valids.astype(bool), L, axis=1)  # [B, T]
         gen_bias = jnp.where(tok_valid, 0.0, _NEG_INF)[:, None, None, :]  # [B, 1, 1, T]
 
+        num_ada = self.num_ada_embeds if self.num_ada_embeds else 6 * C
         for i in range(self.num_layers):
             data = EncoderLayer(
-                C, self.num_heads, self.num_timesteps, self.dropout, self.dtype,
+                C, self.num_heads, num_ada, self.dropout, self.dtype,
                 name=f"layer{i}",
             )(data, self_bias, gen_bias, timesteps, train)
 

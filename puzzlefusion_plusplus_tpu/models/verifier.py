@@ -46,13 +46,13 @@ class TorchEncoderLayer(nn.Module):
         probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
         attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(B, T, C)
         attn = nn.Dense(C, name="out_proj")(attn)
-        x = nn.LayerNorm(name="norm1")(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
 
         ff = nn.Dense(self.ff_dim, name="linear1")(x)
         ff = nn.gelu(ff, approximate=False)
         ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
         ff = nn.Dense(C, name="linear2")(ff)
-        x = nn.LayerNorm(name="norm2")(x + nn.Dropout(self.dropout, deterministic=not train)(ff))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + nn.Dropout(self.dropout, deterministic=not train)(ff))
         return x
 
 

@@ -72,7 +72,11 @@ def make_model(cfg: Config) -> DenoiserTransformer:
         multires=cfg.denoiser.multires,
         dropout=cfg.denoiser.dropout,
         pe_dropout=cfg.denoiser.pe_dropout,
-        num_timesteps=cfg.denoiser.ddpm_train_steps,
+        # reference table size is 6*embed_dim (3072 at width 512, always > the 1000 train
+        # timesteps); small test widths would undershoot the timestep range, and flax Embed's
+        # fill-mode gather turns an out-of-range timestep into NaN — keep every timestep
+        # in range while preserving exact row-count parity at the production width
+        num_ada_embeds=max(6 * cfg.denoiser.embed_dim, cfg.denoiser.ddpm_train_steps),
         dtype=jnp.bfloat16 if cfg.trainer.precision == "bf16" else None,
     )
 

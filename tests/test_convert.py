@@ -147,7 +147,8 @@ def _fake_sd_denoiser(C=64, layers=2):
     for i in range(layers):
         p = f"transformer_layers.{i}"
         for nm in ("norm1", "norm2"):
-            sd[f"{p}.{nm}.emb.weight"] = torch.randn(1000, C, generator=g)  # DDPM_TRAIN_STEPS
+            # reference AdaLN table rows = num_embeds_ada_norm = 6*embed_dim
+            sd[f"{p}.{nm}.emb.weight"] = torch.randn(6 * C, C, generator=g)
             sd[f"{p}.{nm}.linear.weight"] = torch.randn(2 * C, C, generator=g)
             sd[f"{p}.{nm}.linear.bias"] = torch.randn(2 * C, generator=g)
         for at in ("self_attn", "global_attn"):
