@@ -34,10 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: the engine program costs ~5 min of XLA:TPU compile; repeat
-# bench invocations (driver rounds) hit the cache instead
+# persistent compilation cache: the engine program costs ~4.5 min of XLA:TPU compile; repeat
+# bench invocations hit the cache instead. Lives INSIDE the repo (gitignored) because /tmp
+# does not survive between driver rounds — the r01 driver bench paid the full compile despite
+# a warm /tmp cache. Warm it ahead of time with scripts/warm_cache.sh.
 jax.config.update("jax_compilation_cache_dir", os.environ.get(
-    "JAX_COMPILATION_CACHE_DIR", "/tmp/pfpp_jax_cache"))
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 # Measured with `python bench.py --cpu-baseline` on this build host (batch=1 engine on CPU,
@@ -78,6 +81,8 @@ def main() -> None:
     cfg = Config()
     cfg.data.data_val_dir = os.path.join(DATA_DIR, "pc_data", "val")
     cfg.data.matching_data_path = os.path.join(DATA_DIR, "matching_data")
+    # bf16 activations for the denoiser transformer + frozen encoder (PFPP_BENCH_PRECISION)
+    cfg.trainer.precision = os.environ.get("PFPP_BENCH_PRECISION", cfg.trainer.precision)
 
     batch_size = 1 if cpu_baseline_mode else BATCH
     ds = DenoiserDataset(

@@ -64,6 +64,11 @@ class JigsawModel(nn.Module):
     sinkhorn_iters: int = 20
     sinkhorn_tau: float = 0.05
     sa_npoints: tuple = (1024, 256, 64, 16)
+    # fracture-point classification formulation (joint_seg_align_model.py:74-89): 'binary'
+    # emits one sigmoid logit per point; 'multi' emits num_classes log-softmax logits with
+    # argmax prediction and NLL training loss (:170-175, :303-304)
+    cls_method: Literal["binary", "multi"] = "binary"
+    num_classes: int = 2
 
     @nn.compact
     def __call__(
@@ -95,10 +100,16 @@ class JigsawModel(nn.Module):
             self.pc_feat_dim, self.tf_num_heads, name="tf_cross1"
         )(feats, attn_mask)
 
-        # fracture-point classifier: BN -> ReLU -> 1x1 conv (binary)
+        # fracture-point classifier: BN -> ReLU -> 1x1 conv
         h = BatchNormPoints(name="cls_bn")(feats, train)
-        cls_logits = nn.Dense(1, name="cls_head")(nn.relu(h))[..., 0]  # [B, N]
-        cls_pred = (jax.nn.sigmoid(cls_logits) > 0.5) & valid
+        if self.cls_method == "binary":
+            cls_logits = nn.Dense(1, name="cls_head")(nn.relu(h))[..., 0]  # [B, N]
+            cls_pred = (jax.nn.sigmoid(cls_logits) > 0.5) & valid
+        else:  # multi-class softmax formulation
+            cls_logits = jax.nn.log_softmax(
+                nn.Dense(self.num_classes, name="cls_head")(nn.relu(h)), axis=-1
+            )  # [B, N, K] log-probs (reference applies log_softmax in forward, :173)
+            cls_pred = (jnp.argmax(cls_logits, axis=-1) > 0) & valid
 
         out = {"cls_logits": cls_logits, "cls_pred": cls_pred.astype(jnp.int32),
                "part_feats": feats}

@@ -35,9 +35,11 @@ from puzzlefusion_plusplus_tpu.training.verifier import binary_cls_metrics
 
 
 def make_model(pc_feat_dim=128, aff_feat_dim=512, encoder="pointnet2",
-               sa_npoints=(1024, 256, 64, 16)) -> JigsawModel:
+               sa_npoints=(1024, 256, 64, 16), cls_method="binary",
+               num_classes=2) -> JigsawModel:
     return JigsawModel(pc_feat_dim=pc_feat_dim, aff_feat_dim=aff_feat_dim,
-                       encoder_type=encoder, sa_npoints=sa_npoints)
+                       encoder_type=encoder, sa_npoints=sa_npoints,
+                       cls_method=cls_method, num_classes=num_classes)
 
 
 def loss_fn(params, batch_stats, model, batch, w_mat, w_rig, train, rng):
@@ -56,8 +58,12 @@ def loss_fn(params, batch_stats, model, batch, w_mat, w_rig, train, rng):
     w = valid.astype(jnp.float32)
     logits = out["cls_logits"]
     gt = labels.astype(jnp.float32)
-    bce = jnp.maximum(logits, 0) - logits * gt + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    cls_loss = (bce * w).sum() / jnp.maximum(w.sum(), 1.0)
+    if model.cls_method == "binary":
+        bce = jnp.maximum(logits, 0) - logits * gt + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        cls_loss = (bce * w).sum() / jnp.maximum(w.sum(), 1.0)
+    else:  # NLL over log-softmax logits (joint_seg_align_model.py:303-304)
+        nll = -jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+        cls_loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
     metrics = {"cls_loss": cls_loss}
     metrics.update(binary_cls_metrics(out["cls_pred"].astype(jnp.float32), gt, w))
 

@@ -64,6 +64,7 @@ class PointNetSetAbstraction(nn.Module):
     radius: float
     nsample: int
     mlp: Sequence[int]
+    dtype: object = None  # compute dtype (bf16 for mixed precision); params stay fp32
 
     @nn.compact
     def __call__(self, xyz, points, train: bool = False, idx=None):
@@ -91,9 +92,10 @@ class PointNetSetAbstraction(nn.Module):
             grouped = grouped_xyz
         h = grouped
         for i, ch in enumerate(self.mlp):
-            h = nn.Dense(ch, name=f"conv{i}")(h)
+            h = nn.Dense(ch, name=f"conv{i}", dtype=self.dtype)(h)
             h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"bn{i}"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"bn{i}",
+                dtype=self.dtype,
             )(h)
             h = nn.relu(h)
         feats = h.max(axis=2)  # max over neighborhood K
@@ -108,6 +110,7 @@ class PN2(nn.Module):
     local_decode_pts: int = 40
     sa_npoints: Sequence[int] = (256, 128)  # SA1/SA2 centroids (SA3 uses num_point)
     sa_nsamples: Sequence[int] = (32, 64, 64)  # neighborhood sizes per stage
+    dtype: object = None  # compute dtype (bf16 for mixed precision); params stay fp32
 
     def setup(self):
         # remat each SA stage: the grouped [M, S, K, C] activations are the largest tensors
@@ -116,15 +119,15 @@ class PN2(nn.Module):
         # nearly free (jax.checkpoint == the brief's remat-for-memory tradeoff)
         SA = nn.remat(PointNetSetAbstraction, static_argnums=(3,))
         self.sa1 = SA(self.sa_npoints[0], 0.2, self.sa_nsamples[0],
-                      (64, 64, 128))
+                      (64, 64, 128), self.dtype)
         self.sa2 = SA(self.sa_npoints[1], 0.4, self.sa_nsamples[1],
-                      (128, 128, 256))
+                      (128, 128, 256), self.dtype)
         self.sa3 = SA(self.num_point, 0.8, self.sa_nsamples[2],
-                      (256, 256, 512))
-        self.conv6 = nn.Dense(self.num_dim)
-        self.fc1 = nn.Dense(256)
-        self.fc2 = nn.Dense(512)
-        self.fc3 = nn.Dense(self.local_decode_pts * 3)
+                      (256, 256, 512), self.dtype)
+        self.conv6 = nn.Dense(self.num_dim, dtype=self.dtype)
+        self.fc1 = nn.Dense(256, dtype=self.dtype)
+        self.fc2 = nn.Dense(512, dtype=self.dtype)
+        self.fc3 = nn.Dense(self.local_decode_pts * 3)  # offsets head stays fp32
 
     def grouping_indices(self, xyz):
         """Rotation-invariant sampling/grouping indices for ``encode``'s three stages."""
@@ -212,10 +215,11 @@ class VQVAE(nn.Module):
     beta: float = 0.25
     sa_npoints: Sequence[int] = (256, 128)
     sa_nsamples: Sequence[int] = (32, 64, 64)
+    dtype: object = None  # compute dtype for the PN2 stages; quantization stays fp32
 
     def setup(self):
         self.pn2 = PN2(self.num_point, self.num_dim, self.local_decode_pts,
-                       self.sa_npoints, self.sa_nsamples)
+                       self.sa_npoints, self.sa_nsamples, self.dtype)
         self.vector_quantization = VectorQuantizer(
             self.n_embeddings, self.embedding_dim, self.beta
         )
@@ -223,6 +227,7 @@ class VQVAE(nn.Module):
     def encode(self, part_pcs, train: bool = False, cached_idx=None):
         """part_pcs: [B, N, 3] -> dict(z_q [B, L, num_dim], xyz [B, L, 3])."""
         z_e, xyz = self.pn2.encode(part_pcs, train, cached_idx)
+        z_e = z_e.astype(jnp.float32)  # code selection must not depend on compute dtype
         B, L, _ = z_e.shape
         _, z_q, _, _ = self.vector_quantization(z_e.reshape(B, 4 * L, -1))
         return {"z_q": z_q.reshape(B, L, -1), "xyz": xyz}
@@ -239,6 +244,7 @@ class VQVAE(nn.Module):
         ``mask``: optional [B] {0,1} sample validity for the quantizer losses.
         """
         z_e, xyz = self.pn2.encode(part_pcs, train)
+        z_e = z_e.astype(jnp.float32)
         B, L, _ = z_e.shape
         embedding_loss, z_q, perplexity, code_idx = self.vector_quantization(
             z_e.reshape(B, 4 * L, -1), mask

@@ -85,6 +85,59 @@ def compose_render_transform(
     return rot4 @ trans4 @ trans3 @ rot3 @ rot2 @ trans2 @ trans1 @ rot1
 
 
+def assemble_video(frame_paths: list[str], video_path: str, fps: int = 8,
+                   hold_last_s: float = 2.0) -> str | None:
+    """Compile PNG frames into a video (reference save_video, myrenderer.py:264-284:
+    ffmpeg libx264 with the last frame held ~2 s). Encoder chain: ffmpeg when installed ->
+    OpenCV mp4v (no external binary) -> animated GIF (Pillow). Returns the written path,
+    or None when no encoder is available."""
+    import subprocess
+
+    frame_paths = [p for p in frame_paths if p.endswith(".png")]
+    if not frame_paths:
+        return None
+    frames_dir = os.path.dirname(frame_paths[0])
+    try:
+        subprocess.run(
+            ["ffmpeg", "-y", "-framerate", str(fps), "-i", f"{frames_dir}/%04d.png",
+             "-vf", f"tpad=stop_mode=clone:stop_duration={hold_last_s}",
+             "-c:v", "libx264", "-pix_fmt", "yuv420p", "-crf", "17", video_path],
+            check=True, capture_output=True,
+        )
+        return video_path
+    except (FileNotFoundError, subprocess.CalledProcessError):
+        pass
+    try:
+        import cv2
+
+        first = cv2.imread(frame_paths[0])
+        h, w = first.shape[:2]
+        writer = cv2.VideoWriter(
+            video_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+        )
+        for p in frame_paths:
+            img = cv2.imread(p)
+            if img.shape[:2] != (h, w):
+                img = cv2.resize(img, (w, h))
+            writer.write(img)
+        for _ in range(int(hold_last_s * fps)):  # hold the last frame like the reference
+            writer.write(img)
+        writer.release()
+        return video_path
+    except Exception:
+        pass
+    try:
+        from PIL import Image
+
+        gif = os.path.splitext(video_path)[0] + ".gif"
+        frames = [Image.open(p) for p in frame_paths]
+        frames[0].save(gif, save_all=True, append_images=frames[1:],
+                       duration=int(1000 / fps), loop=0)
+        return gif
+    except ImportError:
+        return None
+
+
 def trajectory_world_points(
     part_pcs_gt: np.ndarray,  # [P, N, 3] parts in the GT assembled frame
     artifact: dict,

@@ -10,11 +10,11 @@ Blender rendering remains available through renderer/blender.py when ``bpy`` exi
 from __future__ import annotations
 
 import os
-import subprocess
 
 import numpy as np
 
 from puzzlefusion_plusplus_tpu.renderer.artifacts import (
+    assemble_video,
     load_inference_dir,
     trajectory_world_points,
 )
@@ -68,26 +68,10 @@ def render_trajectory(
         plt.close(fig)
         written.append(path)
 
-    video = os.path.join(out_dir, "assembly.mp4")
-    try:  # ffmpeg if present (reference save_video contract, myrenderer.py:264-284)
-        subprocess.run(
-            ["ffmpeg", "-y", "-framerate", "8", "-i", f"{out_dir}/%04d.png",
-             "-c:v", "libx264", "-pix_fmt", "yuv420p", video],
-            check=True, capture_output=True,
-        )
+    # video assembly (reference save_video contract, myrenderer.py:264-284)
+    video = assemble_video(written, os.path.join(out_dir, "assembly.mp4"))
+    if video is not None:
         written.append(video)
-    except (FileNotFoundError, subprocess.CalledProcessError):
-        if make_gif:
-            gif = os.path.join(out_dir, "assembly.gif")
-            try:
-                from PIL import Image
-
-                frames = [Image.open(p) for p in written if p.endswith(".png")]
-                frames[0].save(gif, save_all=True, append_images=frames[1:],
-                               duration=125, loop=0)
-                written.append(gif)
-            except ImportError:
-                pass
     return written
 
 

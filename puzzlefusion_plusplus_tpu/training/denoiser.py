@@ -45,6 +45,7 @@ from puzzlefusion_plusplus_tpu.parallel import (
 from puzzlefusion_plusplus_tpu.training.state import (
     maybe_restore,
     MetricsLogger,
+    TopKCheckpointer,
     TrainState,
     adamw_reference,
     create_state,
@@ -175,6 +176,10 @@ def numeric_batch(batch: dict) -> dict:
 
 def load_frozen_encoder(cfg: Config) -> FrozenEncoder:
     ae = make_ae_model(cfg)
+    if cfg.trainer.precision == "bf16":
+        # frozen inference-only encoder: run the PN2 stages in bf16 (params stay fp32,
+        # code selection stays fp32 — models/vqvae.py encode)
+        ae = ae.clone(dtype=jnp.bfloat16)
     if cfg.denoiser.encoder_ckpt_path:
         params, batch_stats = load_model_params(cfg.denoiser.encoder_ckpt_path)
     else:  # untrained encoder (smoke/test runs)
@@ -220,6 +225,10 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
 
     out_dir = f"{cfg.trainer.output_dir}/{cfg.trainer.experiment_name}/denoiser"
     logger = MetricsLogger(out_dir)
+    # top-k retention on the monitored metric (reference ModelCheckpoint: top-3 on
+    # eval/part_acc + save_last, config/denoiser/global_config.yaml:42-50)
+    topk = TopKCheckpointer(f"{out_dir}/ckpt", monitor="eval_part_acc", mode="max",
+                            top_k=cfg.trainer.ckpt_top_k)
     state = maybe_restore(state, f"{out_dir}/ckpt", cfg.denoiser.ckpt_path)
     step = 0
     for epoch in range(cfg.denoiser.epochs):
@@ -247,7 +256,9 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
             if accs:
                 agg = {k2: float(np.mean([a[k2] for a in accs])) for k2 in accs[0]}
                 logger.log(step, epoch=epoch, **{f"eval_{k2}": v for k2, v in agg.items()})
-            save_checkpoint(f"{out_dir}/ckpt", state, step)
+                topk.save(state, step, agg["part_acc"])
+            else:
+                save_checkpoint(f"{out_dir}/ckpt", state, step)
     return state
 
 

@@ -104,15 +104,22 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int | None = None) -
 
 
 def resolve_checkpoint_path(path: str) -> str:
-    """Accepts a concrete step_N dir, a ckpt dir (resolves mtime-latest step), or a
-    '<ckpt_dir>/latest' alias."""
+    """Accepts a concrete step_N dir, a ckpt dir, or '<ckpt_dir>/{best,latest}' aliases.
+    A plain ckpt dir resolves to the BEST checkpoint by the monitored metric when a topk.json
+    index exists (the reference loads Lightning's best-ckpt for stage handoffs and inference),
+    else to the mtime-latest step."""
     path = os.path.abspath(path)
-    if os.path.basename(path) == "latest":
-        path = os.path.dirname(path)
-    if os.path.isdir(path) and not os.path.basename(path).startswith("step_"):
-        latest = latest_checkpoint(path)
-        if latest is not None:
-            return latest
+    base = os.path.basename(path)
+    if base == "latest":
+        resolved = latest_checkpoint(os.path.dirname(path))
+        return resolved if resolved else os.path.dirname(path)
+    if base == "best":
+        resolved = best_checkpoint(os.path.dirname(path))
+        return resolved if resolved else os.path.dirname(path)
+    if os.path.isdir(path) and not base.startswith("step_"):
+        resolved = best_checkpoint(path)
+        if resolved is not None:
+            return resolved
     return path
 
 
@@ -142,6 +149,10 @@ def maybe_restore(state: TrainState, ckpt_dir: str, explicit_path: str = "") -> 
     path = explicit_path or latest_checkpoint(ckpt_dir)
     if not path:
         return state
+    # resume means mtime-LATEST, even when the dir has a top-k index (best_checkpoint is for
+    # stage handoffs / inference, not for continuing an interrupted run)
+    if os.path.isdir(path) and not os.path.basename(path).startswith("step_"):
+        path = latest_checkpoint(path) or path
     target = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
@@ -170,6 +181,85 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
         os.path.join(ckpt_dir, d) for d in os.listdir(ckpt_dir) if d.startswith("step_")
     ]
     return max(cands, key=os.path.getmtime) if cands else None
+
+
+class TopKCheckpointer:
+    """Lightning ModelCheckpoint semantics: keep the top-k checkpoints by a monitored metric
+    plus always the latest (save_last), pruning the rest (reference
+    config/denoiser/global_config.yaml:42-50 — top-3 on eval/part_acc; AE monitors
+    val_loss/cd_loss with mode=min; verifier val/cls_acc; Jigsaw top-10 on val/mat_f1,
+    train_matching.py:41-49).
+
+    The monitored values persist in ``<ckpt_dir>/topk.json`` so retention and
+    ``best_checkpoint`` survive restarts."""
+
+    def __init__(self, ckpt_dir: str, monitor: str, mode: str = "max", top_k: int = 3):
+        assert mode in ("max", "min")
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        self.monitor = monitor
+        self.mode = mode
+        self.top_k = top_k
+        self.index_path = os.path.join(self.ckpt_dir, "topk.json")
+        self.entries: dict[str, float] = {}
+        if os.path.exists(self.index_path):
+            with open(self.index_path) as f:
+                saved = json.load(f)
+            if saved.get("monitor") == monitor:
+                self.entries = {k: float(v) for k, v in saved["entries"].items()}
+
+    def _write_index(self):
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        with open(self.index_path, "w") as f:
+            json.dump(
+                {"monitor": self.monitor, "mode": self.mode, "entries": self.entries}, f
+            )
+
+    def save(self, state: TrainState, step: int, metric_value: float) -> str:
+        """Checkpoint ``state`` and prune: keeps the top-k by metric + the newest step."""
+        path = save_checkpoint(self.ckpt_dir, state, step)
+        self.entries[os.path.basename(path)] = float(metric_value)
+        self._write_index()
+        self._prune(keep_newest=os.path.basename(path))
+        return path
+
+    def _ranked(self) -> list[str]:
+        return sorted(
+            self.entries, key=self.entries.__getitem__, reverse=self.mode == "max"
+        )
+
+    def _prune(self, keep_newest: str):
+        import shutil
+
+        keep = set(self._ranked()[: self.top_k]) | {keep_newest}
+        for name in list(self.entries):
+            if name not in keep:
+                victim = os.path.join(self.ckpt_dir, name)
+                if os.path.isdir(victim):
+                    shutil.rmtree(victim)
+                del self.entries[name]
+        self._write_index()
+
+    def best(self) -> str | None:
+        ranked = self._ranked()
+        return os.path.join(self.ckpt_dir, ranked[0]) if ranked else None
+
+
+def best_checkpoint(ckpt_dir: str) -> str | None:
+    """Best step_* dir per the persisted topk.json index; falls back to mtime-latest when no
+    monitored index exists (e.g. periodic-only checkpoints)."""
+    index_path = os.path.join(ckpt_dir, "topk.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            saved = json.load(f)
+        entries = saved.get("entries", {})
+        live = {k: v for k, v in entries.items()
+                if os.path.isdir(os.path.join(ckpt_dir, k))}
+        if live:
+            pick = (max if saved.get("mode", "max") == "max" else min)(
+                live, key=live.__getitem__
+            )
+            return os.path.join(ckpt_dir, pick)
+    return latest_checkpoint(ckpt_dir)
 
 
 # ---------------------------------------------------------------- logging

@@ -25,6 +25,7 @@ from puzzlefusion_plusplus_tpu.parallel import (
 from puzzlefusion_plusplus_tpu.training.state import (
     maybe_restore,
     MetricsLogger,
+    TopKCheckpointer,
     TrainState,
     adamw_reference,
     create_state,
@@ -125,6 +126,10 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
 
     out_dir = f"{cfg.trainer.output_dir}/{cfg.trainer.experiment_name}/verifier"
     logger = MetricsLogger(out_dir)
+    # top-k on val cls_acc (reference monitors val/cls_acc,
+    # config/verifier/global_config.yaml:41-49)
+    topk = TopKCheckpointer(f"{out_dir}/ckpt", monitor="val_cls_acc", mode="max",
+                            top_k=cfg.trainer.ckpt_top_k)
     state = maybe_restore(state, f"{out_dir}/ckpt", cfg.verifier.ckpt_path)
     step = 0
     for epoch in range(cfg.verifier.epochs):
@@ -150,7 +155,9 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
             if vals:
                 agg = {f"val_{k2}": float(np.mean([v[k2] for v in vals])) for k2 in vals[0]}
                 logger.log(step, epoch=epoch, **agg)
-            save_checkpoint(f"{out_dir}/ckpt", state, step)
+                topk.save(state, step, agg["val_cls_acc"])
+            else:
+                save_checkpoint(f"{out_dir}/ckpt", state, step)
     return state
 
 

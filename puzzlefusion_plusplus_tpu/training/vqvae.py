@@ -31,6 +31,7 @@ from puzzlefusion_plusplus_tpu.parallel import (
 from puzzlefusion_plusplus_tpu.training.state import (
     maybe_restore,
     MetricsLogger,
+    TopKCheckpointer,
     TrainState,
     adamw_multistep,
     create_state,
@@ -135,6 +136,10 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
 
     out_dir = f"{cfg.trainer.output_dir}/{cfg.trainer.experiment_name}/vqvae"
     logger = MetricsLogger(out_dir)
+    # top-k on val cd_loss, mode=min (reference monitors val_loss/cd_loss,
+    # config/ae/global_config.yaml:42-50)
+    topk = TopKCheckpointer(f"{out_dir}/ckpt", monitor="val_cd_loss", mode="min",
+                            top_k=cfg.trainer.ckpt_top_k)
     state = maybe_restore(state, f"{out_dir}/ckpt", cfg.ae.ckpt_path)
     step = 0
     for epoch in range(cfg.ae.epochs):
@@ -153,8 +158,12 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
                 padded, n_real = pad_batch_to_devices(numeric_batch(batch), n_dev)
                 m = eval_step(state, shard_batch(padded, mesh), model)
                 vals.append(float(m["cd_loss"]))
-            logger.log(step, epoch=epoch, val_cd_loss=float(np.mean(vals)) if vals else 0.0)
-            save_checkpoint(f"{out_dir}/ckpt", state, step)
+            if vals:
+                val_cd = float(np.mean(vals))
+                logger.log(step, epoch=epoch, val_cd_loss=val_cd)
+                topk.save(state, step, val_cd)
+            else:
+                save_checkpoint(f"{out_dir}/ckpt", state, step)
     return state
 
 

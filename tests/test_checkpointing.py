@@ -1,0 +1,83 @@
+"""Top-k checkpoint retention by monitored metric (reference ModelCheckpoint: top-3 +
+save_last on eval/part_acc, config/denoiser/global_config.yaml:42-50)."""
+
+import os
+
+import jax.numpy as jnp
+import optax
+
+from puzzlefusion_plusplus_tpu.training.state import (
+    TopKCheckpointer,
+    TrainState,
+    best_checkpoint,
+    create_state,
+    latest_checkpoint,
+    maybe_restore,
+    resolve_checkpoint_path,
+)
+
+
+def _state(value: float, step: int = 0) -> TrainState:
+    tx = optax.adamw(1e-3)
+    s = create_state({"params": {"w": jnp.full((2,), value)}}, tx)
+    return s._replace(step=jnp.asarray(step, jnp.int32))
+
+
+def _steps(ckpt_dir):
+    return sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+
+
+def test_topk_retention_and_best(tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    topk = TopKCheckpointer(ckpt_dir, monitor="eval_part_acc", mode="max", top_k=2)
+
+    scores = {1: 0.1, 2: 0.5, 3: 0.3, 4: 0.05, 5: 0.4}
+    for step, acc in scores.items():
+        topk.save(_state(float(step), step), step, acc)
+
+    kept = _steps(ckpt_dir)
+    # top-2 by metric = steps 2 (0.5) and 5 (0.4); step 5 is also the newest (save_last)
+    assert kept == ["step_2", "step_5"]
+    assert os.path.basename(best_checkpoint(ckpt_dir)) == "step_2"
+    # a plain ckpt-dir path resolves to the BEST checkpoint for loading
+    assert os.path.basename(resolve_checkpoint_path(ckpt_dir)) == "step_2"
+    assert os.path.basename(resolve_checkpoint_path(ckpt_dir + "/best")) == "step_2"
+    # the latest alias and resume still mean mtime-latest
+    assert os.path.basename(latest_checkpoint(ckpt_dir)) == "step_5"
+    assert os.path.basename(resolve_checkpoint_path(ckpt_dir + "/latest")) == "step_5"
+    restored = maybe_restore(_state(0.0), ckpt_dir)
+    assert int(restored.step) == 5
+
+
+def test_topk_save_last_keeps_newest_even_if_worst(tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    topk = TopKCheckpointer(ckpt_dir, monitor="eval_part_acc", mode="max", top_k=1)
+    topk.save(_state(1.0), 1, 0.9)
+    topk.save(_state(2.0), 2, 0.8)  # worse, but newest -> kept alongside the best
+    assert _steps(ckpt_dir) == ["step_1", "step_2"]
+    topk.save(_state(3.0), 3, 0.7)  # step_2 now neither best nor newest -> pruned
+    assert _steps(ckpt_dir) == ["step_1", "step_3"]
+    assert os.path.basename(best_checkpoint(ckpt_dir)) == "step_1"
+
+
+def test_topk_mode_min_and_restart_persistence(tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    topk = TopKCheckpointer(ckpt_dir, monitor="val_cd_loss", mode="min", top_k=2)
+    for step, loss in {1: 0.9, 2: 0.2, 3: 0.5}.items():
+        topk.save(_state(float(step)), step, loss)
+    assert os.path.basename(best_checkpoint(ckpt_dir)) == "step_2"
+
+    # a fresh checkpointer (process restart) reloads the index and keeps pruning correctly
+    topk2 = TopKCheckpointer(ckpt_dir, monitor="val_cd_loss", mode="min", top_k=2)
+    topk2.save(_state(4.0), 4, 0.1)
+    assert os.path.basename(best_checkpoint(ckpt_dir)) == "step_4"
+    assert _steps(ckpt_dir) == ["step_2", "step_4"]
+
+
+def test_best_falls_back_to_latest_without_index(tmp_path):
+    from puzzlefusion_plusplus_tpu.training.state import save_checkpoint
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, _state(1.0), 1)
+    save_checkpoint(ckpt_dir, _state(2.0), 2)
+    assert os.path.basename(best_checkpoint(ckpt_dir)) == "step_2"

@@ -166,6 +166,44 @@ def test_jigsaw_model_forward(tiny_jigsaw):
     assert m[0, nc:].sum() == 0  # padded critical slots empty
 
 
+def test_jigsaw_model_multiclass_head():
+    """Multi-class formulation (joint_seg_align_model.py:81-89,170-175): log-softmax logits
+    [B, N, K], argmax prediction, rows sum to 1 in prob space."""
+    from puzzlefusion_plusplus_tpu.matching.model import JigsawModel
+
+    model = JigsawModel(pc_feat_dim=32, aff_feat_dim=16, sa_npoints=(32, 16, 8, 4),
+                        tf_num_samples=8, cls_method="multi", num_classes=2)
+    rng = np.random.default_rng(8)
+    B, N = 1, 128
+    pcs = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    pid = mops.piece_ids(jnp.asarray([[64, 64, 0]]), N)
+    n_valid = jnp.asarray([2])
+    labels = jnp.asarray((rng.random((B, N)) < 0.3).astype(np.int32))
+    variables = model.init(jax.random.key(0), pcs, pid, n_valid, labels,
+                           train=False, compute_matching=True)
+    out = model.apply(variables, pcs, pid, n_valid, labels, train=False,
+                      compute_matching=True)
+    assert out["cls_logits"].shape == (B, N, 2)
+    probs = np.exp(np.asarray(out["cls_logits"]))
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    assert set(np.unique(np.asarray(out["cls_pred"]))) <= {0, 1}
+
+    # NLL loss variant runs and is finite through the train-step loss
+    from puzzlefusion_plusplus_tpu.matching.train import loss_fn
+
+    batch = {
+        "part_pcs": pcs, "gt_pcs": pcs, "piece_id": pid,
+        "part_valids": jnp.asarray([[1.0, 1.0, 0.0]]),
+        "critical_label_thresholds": jnp.full((B, N), 0.025),
+    }
+    total, (metrics, *_) = loss_fn(
+        variables["params"], variables.get("batch_stats", {}), model, batch,
+        0.0, 0.0, False, jax.random.key(1),
+    )
+    assert np.isfinite(float(total))
+    assert np.isfinite(float(metrics["cls_loss"]))
+
+
 def test_matching_training_step(tmp_path):
     from puzzlefusion_plusplus_tpu.data import generate_dataset
     from puzzlefusion_plusplus_tpu.matching.train import make_model, train_matching

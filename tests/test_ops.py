@@ -147,6 +147,35 @@ class TestNormals:
         assert (np.abs(cosang) > 0.95).mean() > 0.98
         assert (cosang < 0).mean() > 0.95
 
+    def test_analytic_eigvec_matches_eigh(self):
+        """Closed-form smallest eigenvector == LAPACK eigh up to sign (random SPD-ish and
+        near-planar covariances — the analytic path replaces the 660 ms batched eigh)."""
+        from puzzlefusion_plusplus_tpu.ops.normals import smallest_eigvec_sym3x3
+
+        m = RNG.standard_normal((4096, 5, 3)).astype(np.float32)
+        m[:2048, :, 2] *= 1e-2  # near-planar neighborhoods (small third eigenvalue)
+        cov = np.einsum("bki,bkj->bij", m, m)
+        v_an = np.asarray(smallest_eigvec_sym3x3(jnp.asarray(cov)))
+        w, v = np.linalg.eigh(cov)
+        v_ref = v[..., 0]
+        dot = np.abs(np.sum(v_an * v_ref, axis=-1))
+        # well-conditioned cases (simple smallest eigenvalue) must match tightly
+        gap = (w[:, 1] - w[:, 0]) / np.maximum(w[:, 2], 1e-12)
+        good = gap > 1e-3
+        assert good.mean() > 0.95
+        np.testing.assert_array_less(0.999, dot[good] + 1e-9)
+        # every output is a unit vector regardless of conditioning
+        np.testing.assert_allclose(np.linalg.norm(v_an, axis=-1), 1.0, atol=1e-3)
+
+    def test_normals_analytic_vs_eigh_full(self):
+        pts = RNG.standard_normal((2, 300, 3)).astype(np.float32)
+        n_a = np.asarray(ops.estimate_pointcloud_normals(jnp.array(pts), 20))
+        n_e = np.asarray(
+            ops.estimate_pointcloud_normals(jnp.array(pts), 20, method="eigh")
+        )
+        dot = np.abs(np.sum(n_a * n_e, axis=-1))
+        assert (dot > 0.999).mean() > 0.98
+
 
 class TestGrouping:
     def test_sample_and_group_shapes(self):

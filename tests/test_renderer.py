@@ -58,7 +58,9 @@ def test_compose_transform_is_rigid(tmp_path):
     assert np.allclose(m[3], [0, 0, 0, 1])
 
 
-def test_render_frames(tmp_path):
+def test_render_frames_and_video(tmp_path):
+    """Headless render must produce frames AND an assembled video (reference save_video,
+    myrenderer.py:264-284 — here via the ffmpeg/OpenCV/GIF encoder chain)."""
     pytest.importorskip("matplotlib")
     from puzzlefusion_plusplus_tpu.renderer import render_trajectory
 
@@ -69,3 +71,49 @@ def test_render_frames(tmp_path):
     pngs = [p for p in paths if p.endswith(".png")]
     assert len(pngs) >= 2
     assert all(os.path.getsize(p) > 1000 for p in pngs)
+    videos = [p for p in paths if p.endswith((".mp4", ".gif"))]
+    assert videos, "no video assembled despite cv2/PIL being available"
+    assert os.path.getsize(videos[0]) > 1000
+
+
+def test_assemble_video_cv2_fallback(tmp_path):
+    """assemble_video must write a real .mp4 via OpenCV when ffmpeg is absent."""
+    cv2 = pytest.importorskip("cv2")
+    frames = []
+    for i in range(4):
+        img = np.full((64, 64, 3), i * 60, np.uint8)
+        p = str(tmp_path / f"{i:04d}.png")
+        cv2.imwrite(p, img)
+        frames.append(p)
+    from puzzlefusion_plusplus_tpu.renderer.artifacts import assemble_video
+
+    out = assemble_video(frames, str(tmp_path / "v.mp4"), fps=4, hold_last_s=0.5)
+    assert out is not None and out.endswith((".mp4", ".gif"))
+    assert os.path.getsize(out) > 500
+    if out.endswith(".mp4"):
+        cap = cv2.VideoCapture(out)
+        assert cap.isOpened()
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        assert n >= 4
+        cap.release()
+
+
+def test_render_results_end_to_end(tmp_path):
+    """render_results.py path: synthetic inference dir + pc_data -> frames + video."""
+    pytest.importorskip("matplotlib")
+    from puzzlefusion_plusplus_tpu.renderer import render_results
+
+    inf_dir = tmp_path / "inference"
+    sample = inf_dir / "10000"
+    sample.mkdir(parents=True)
+    _write_artifacts(str(sample), P=3, T=6)
+    pc_dir = tmp_path / "pc_data"
+    pc_dir.mkdir()
+    np.savez(
+        pc_dir / "10000.npz",
+        part_valids=np.array([1, 1, 1, 0], np.float32),
+        part_pcs_gt=np.random.default_rng(0).normal(size=(4, 30, 3)).astype(np.float32),
+    )
+    written = render_results(str(inf_dir), str(pc_dir), every=3)
+    assert any(w.endswith(".png") for w in written)
+    assert any(w.endswith((".mp4", ".gif")) for w in written)
