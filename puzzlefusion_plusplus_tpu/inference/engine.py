@@ -335,19 +335,31 @@ def verify_and_merge(
             transformed_pts, normals, pair_active, cfg.intersect_threshold
         )  # [P, N]
 
-        # FPS the merged cloud of every label back to N points (translation-invariant, so
-        # we sample on the un-recentered world points with per-label masks)
+        # FPS the merged cloud of every MERGING label back to N points. A merging component
+        # consumes >= 2 disjoint valid nodes, so at most floor(P/2) labels merge per
+        # iteration — compacting them into K = P//2 slots (merging-first argsort) halves the
+        # FPS work with zero semantic change. Sampling runs on the un-recentered world
+        # points (FPS is translation-invariant) with per-label masks.
+        K = max(P // 2, 1)
+        sel = jnp.argsort(~merging, stable=True).astype(jnp.int32)[:K]  # [K] label ids
+        sel_valid = merging[sel]
         flat_pts = transformed_pts.reshape(P * N, 3)
         fps_mask = (
-            member[:, :, None] & state.node_valids[None, :, None] & keep[None]
-        ).reshape(P, P * N)  # [label, P*N]
-        fps_mask = fps_mask & merging[:, None]
+            member[sel][:, :, None] & state.node_valids[None, :, None] & keep[None]
+        ).reshape(K, P * N)  # [slot, P*N]
+        fps_mask = fps_mask & sel_valid[:, None]
         fps_idx = farthest_point_sample(
-            jnp.broadcast_to(flat_pts[None], (P, P * N, 3)), N, mask=fps_mask
-        )  # [label, N]
-        merged_ = flat_pts[fps_idx] - centroid[:, None, :]  # [label, N, 3]
-        merge_scale_ = jnp.abs(merged_).max(axis=(1, 2))  # [label]
-        return merged_ / jnp.maximum(merge_scale_[:, None, None], 1e-12), merge_scale_
+            jnp.broadcast_to(flat_pts[None], (K, P * N, 3)), N, mask=fps_mask
+        )  # [slot, N]
+        merged_k = flat_pts[fps_idx] - centroid[sel][:, None, :]  # [slot, N, 3]
+        scale_k = jnp.abs(merged_k).max(axis=(1, 2))  # [slot]
+        merged_k = merged_k / jnp.maximum(scale_k[:, None, None], 1e-12)
+        w = sel_valid[:, None, None]
+        merged_ = jnp.zeros((P, N, 3), merged_k.dtype).at[sel].set(
+            jnp.where(w, merged_k, 0.0)
+        )
+        merge_scale_ = jnp.zeros(P).at[sel].set(jnp.where(sel_valid, scale_k, 0.0))
+        return merged_, merge_scale_
 
     merged, merge_scale = jax.lax.cond(
         part_merges.any(),
