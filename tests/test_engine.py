@@ -142,3 +142,65 @@ def test_triu_matches_itertools():
     t = _triu_indices(5)
     assert t.shape == (10, 2)
     assert (t[:, 0] < t[:, 1]).all()
+
+
+def test_max_simultaneous_merges_at_p_half_bound():
+    """P/2 disjoint components all merging in ONE iteration — the exact upper bound the
+    FPS-slot compaction (engine.py merge_geometry, K = P//2) is sized for."""
+    from puzzlefusion_plusplus_tpu.inference.engine import AgglConfig, AgglState, verify_and_merge
+
+    P, N, A, K, Eg = 6, 64, 48, 8, 16
+    rng = np.random.default_rng(5)
+    noisy = rng.normal(size=(P, 7)).astype(np.float32)
+    noisy[:, 3:] += np.array([2.0, 0, 0, 0], np.float32)
+    state = AgglState(
+        noisy=jnp.asarray(noisy),
+        reference_vals=jnp.zeros((P, 7)),
+        ref_part=jnp.zeros(P, bool),
+        part_valids=jnp.ones(P, jnp.float32),
+        part_scale=jnp.asarray(rng.uniform(0.1, 0.6, P).astype(np.float32)),
+        part_pcs=jnp.asarray(rng.normal(size=(P, N, 3)).astype(np.float32)),
+        area_pts=jnp.asarray(rng.normal(size=(P, A, 3)).astype(np.float32)),
+        pivot=jnp.arange(P, dtype=jnp.int32),
+        node_valids=jnp.ones(P, bool),
+        init_pose=jnp.broadcast_to(jnp.eye(4), (P, 4, 4)),
+        classified=jnp.zeros(P, bool),
+        adj=jnp.zeros((P, P), bool),
+        done=jnp.asarray(False),
+        rng=jax.random.key(0),
+    )
+    matching = {
+        "match_edges": jnp.asarray(rng.integers(0, P, size=(Eg, 2)).astype(np.int32)),
+        "match_edge_valid": jnp.ones(Eg, bool),
+        "corr_src": jnp.asarray(rng.integers(0, A, size=(Eg, K)).astype(np.int32)),
+        "corr_tgt": jnp.asarray(rng.integers(0, A, size=(Eg, K)).astype(np.int32)),
+        "corr_count": jnp.full(Eg, K, np.int32),
+    }
+    triu = jnp.asarray(_triu_indices(P))
+    want = {(0, 1), (2, 3), (4, 5)}  # 3 = P//2 disjoint pairs
+
+    def verifier_apply(feats, indices, valids):
+        logits = [10.0 if (int(a), int(b)) in want else -10.0 for a, b in np.asarray(triu)]
+        return jnp.asarray(logits, jnp.float32)[None, :, None]
+
+    cfg = AgglConfig(max_iters=2, num_inference_steps=2)
+    new = jax.jit(
+        lambda s: verify_and_merge(s, verifier_apply, matching, jnp.asarray(P), cfg, triu)
+    )(state)
+
+    part_merges = np.asarray(new.classified)  # all six parts joined a merging component
+    assert part_merges.all()
+    node_valids = np.asarray(new.node_valids)
+    assert node_valids.sum() == 3  # one surviving pivot per pair
+    # each pair collapsed onto its larger-scale member, cloud re-committed and renormalized
+    scale = np.asarray(state.part_scale)
+    for a, b in want:
+        piv = a if scale[a] >= scale[b] else b
+        assert node_valids[piv]
+        assert np.asarray(new.part_valids)[piv] == 1.0
+        assert np.abs(np.asarray(new.part_pcs)[piv]).max() <= 1.0 + 1e-5
+        assert not np.allclose(np.asarray(new.part_pcs)[piv], np.asarray(state.part_pcs)[piv])
+    np.testing.assert_array_equal(
+        np.asarray(new.pivot), [a if scale[a] >= scale[b] else b for a, b in
+                                ((0, 1), (0, 1), (2, 3), (2, 3), (4, 5), (4, 5))]
+    )
