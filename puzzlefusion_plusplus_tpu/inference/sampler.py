@@ -89,21 +89,22 @@ def make_frozen_encoder(model, params, batch_stats, fused: str = "never") -> Fro
     use_fused = fused == "always" and batch_stats and jax.default_backend() == "tpu"
     fused_encode = _make_fused_encode(model, params, batch_stats) if use_fused else None
 
-    def apply(flat_pcs, cached_idx=None):
-        if fused_encode is not None and cached_idx is not None:
+    def apply(flat_pcs, cached_idx=None, cached_geom=None):
+        if fused_encode is not None and cached_idx is not None and cached_geom is None:
             return fused_encode(flat_pcs, cached_idx)
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             flat_pcs,
             train=False,
             cached_idx=cached_idx,
+            cached_geom=cached_geom,
             method=type(model).encode,
         )
 
-    from puzzlefusion_plusplus_tpu.models.vqvae import pn2_grouping_indices
+    from puzzlefusion_plusplus_tpu.models.vqvae import pn2_grouping_geometry
 
     def grouping(flat_pcs):
-        return pn2_grouping_indices(
+        return pn2_grouping_geometry(
             flat_pcs, model.num_point, model.sa_npoints, model.sa_nsamples
         )
 
@@ -111,14 +112,17 @@ def make_frozen_encoder(model, params, batch_stats, fused: str = "never") -> Fro
 
 
 class FeatureCache(NamedTuple):
-    """Per-iteration invariants of the denoise loop: compaction layout + rotation-invariant
-    sampling/grouping indices. Valid as long as part_pcs/part_valids are unchanged (i.e.
-    between agglomeration merges)."""
+    """Per-iteration invariants of the denoise loop: compaction layout, rotation-invariant
+    sampling/grouping indices, and the grouped relative GEOMETRY of the unrotated clouds
+    (rotation commutes with gather-and-recenter, so per step it is rotated elementwise
+    instead of re-gathered — the gathers at N=1000 are the encoder's dominant cost).
+    Valid as long as part_pcs/part_valids are unchanged (i.e. between merges)."""
 
     order: jnp.ndarray
     src: jnp.ndarray
     slot_valid: jnp.ndarray
     idx_stages: tuple
+    geom_stages: tuple  # per stage: (new_xyz [M, S, 3], grouped_rel [M, S, K, 3]) unrotated
 
 
 def build_feature_cache(
@@ -127,7 +131,8 @@ def build_feature_cache(
     B, P, N, _ = part_pcs.shape
     order, src, slot_valid = compaction_indices(part_valids)
     flat = compact_parts(part_pcs, src).reshape(B * P, N, 3)
-    return FeatureCache(order, src, slot_valid, encoder.grouping(flat))
+    idx_stages, geom_stages = encoder.grouping(flat)
+    return FeatureCache(order, src, slot_valid, idx_stages, geom_stages)
 
 
 def extract_features(
@@ -141,18 +146,31 @@ def extract_features(
     (reference denoiser.py:55-77, fixed-shape via compaction instead of boolean gather).
 
     With ``cache`` (build_feature_cache on the SAME part_pcs/part_valids), the per-step
-    FPS/ball-query recomputation disappears — rotation leaves those indices unchanged, so
-    this is numerically the reference semantics minus float-tie jitter."""
+    FPS/ball-query recomputation disappears — rotation leaves those indices unchanged —
+    AND the xyz gathers collapse to elementwise rotations of the cached grouped geometry
+    (gather-then-rotate == rotate-then-gather for rigid rotations), so this is numerically
+    the reference semantics minus float-association jitter."""
     B, P, N, _ = part_pcs.shape
     quat = quat_normalize(noisy_trans_and_rots[..., 3:])
-    rotated = qrot(quat[:, :, None, :], part_pcs)
     if cache is None:
         order, src, slot_valid = compaction_indices(part_valids)
-        idx_stages = None
+        rotated = qrot(quat[:, :, None, :], part_pcs)
+        flat = compact_parts(rotated, src).reshape(B * P, N, 3)
+        out = encoder.apply(flat, None)
     else:
-        order, src, slot_valid, idx_stages = cache
-    flat = compact_parts(rotated, src).reshape(B * P, N, 3)
-    out = encoder.apply(flat, idx_stages)
+        order, src, slot_valid, idx_stages, geom_stages = cache
+        q_flat = compact_parts(quat, src).reshape(B * P, 4)  # compaction order of the cache
+        geom_rot = tuple(
+            (
+                qrot(q_flat[:, None, :], n_s),
+                qrot(q_flat[:, None, None, :], g_s),
+            )
+            for n_s, g_s in geom_stages
+        )
+        # xyz is ignored by the encoder when cached geometry is supplied; pass the cheap
+        # unrotated compaction only for shape plumbing — avoid gathering the full cloud
+        flat = compact_parts(part_pcs, src).reshape(B * P, N, 3)
+        out = encoder.apply(flat, idx_stages, geom_rot)
     z_q = out["z_q"].reshape(B, P, encoder.num_point, encoder.num_dim)
     xyz = out["xyz"].reshape(B, P, encoder.num_point, 3)
     latent = scatter_parts(z_q, order, slot_valid)

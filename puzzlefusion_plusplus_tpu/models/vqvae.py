@@ -59,6 +59,36 @@ def pn2_grouping_indices(
     return (idx1, idx2, idx3)
 
 
+def pn2_grouping_geometry(
+    xyz: jnp.ndarray,
+    num_point: int = 25,
+    sa_npoints: Sequence[int] = (256, 128),
+    sa_nsamples: Sequence[int] = (32, 64, 64),
+) -> tuple[tuple, tuple]:
+    """Stage indices PLUS per-stage (new_xyz, grouped relative coords) on this cloud.
+
+    Rotation commutes with gathering and recentering: for a rigid rotation R,
+    gather(R x)[idx] - center(R x) == R (gather(x)[idx] - center(x)). So the diffusion
+    sampler can cache these geometry tensors ONCE per iteration on the unrotated clouds and
+    rotate them per denoise step — removing the N=1000-point one-hot gather matmuls (the
+    encoder's dominant per-step cost) from the 20-step loop entirely.
+
+    Returns (idx_stages, geom_stages): geom_stages[s] = (new_xyz [B, S, 3],
+    grouped_rel [B, S, K, 3]) in this cloud's (unrotated) frame."""
+    from puzzlefusion_plusplus_tpu.ops.grouping import index_points
+
+    idx1 = sa_stage_indices(xyz, sa_npoints[0], 0.2, sa_nsamples[0])
+    n1 = index_points(xyz, idx1[0])
+    g1 = index_points(xyz, idx1[1]) - n1[:, :, None, :]
+    idx2 = sa_stage_indices(n1, sa_npoints[1], 0.4, sa_nsamples[1])
+    n2 = index_points(n1, idx2[0])
+    g2 = index_points(n1, idx2[1]) - n2[:, :, None, :]
+    idx3 = sa_stage_indices(n2, num_point, 0.8, sa_nsamples[2])
+    n3 = index_points(n2, idx3[0])
+    g3 = index_points(n2, idx3[1]) - n3[:, :, None, :]
+    return (idx1, idx2, idx3), ((n1, g1), (n2, g2), (n3, g3))
+
+
 class PointNetSetAbstraction(nn.Module):
     npoint: int
     radius: float
@@ -67,11 +97,14 @@ class PointNetSetAbstraction(nn.Module):
     dtype: object = None  # compute dtype (bf16 for mixed precision); params stay fp32
 
     @nn.compact
-    def __call__(self, xyz, points, train: bool = False, idx=None):
+    def __call__(self, xyz, points, train: bool = False, idx=None, geom=None):
         """xyz: [B, N, 3], points: [B, N, D] or None -> (new_xyz [B, S, 3], feats [B, S, C]).
 
         ``idx``: optional precomputed (fps_idx, group_idx) from ``sa_stage_indices`` —
         skips the FPS/ball-query recomputation (identical results for rotated inputs).
+        ``geom``: optional (new_xyz, grouped_rel) ALREADY in this call's frame (e.g. cached
+        unrotated geometry rotated by the caller, pn2_grouping_geometry) — skips the xyz
+        gathers entirely; ``xyz`` is then only consulted for feature gathers via ``idx``.
         """
         from puzzlefusion_plusplus_tpu.ops.grouping import (
             index_points,
@@ -81,8 +114,11 @@ class PointNetSetAbstraction(nn.Module):
         if idx is None:
             idx = sa_stage_indices(xyz, self.npoint, self.radius, self.nsample)
         fps_idx, group_idx = idx
-        new_xyz = index_points(xyz, fps_idx)
-        grouped_xyz = index_points(xyz, group_idx) - new_xyz[:, :, None, :]
+        if geom is not None:
+            new_xyz, grouped_xyz = geom
+        else:
+            new_xyz = index_points(xyz, fps_idx)
+            grouped_xyz = index_points(xyz, group_idx) - new_xyz[:, :, None, :]
         if points is not None:
             # feature channels go straight into the first Dense -> matmul-safe approx gather
             grouped = jnp.concatenate(
@@ -133,15 +169,19 @@ class PN2(nn.Module):
         """Rotation-invariant sampling/grouping indices for ``encode``'s three stages."""
         return pn2_grouping_indices(xyz, self.num_point, self.sa_npoints, self.sa_nsamples)
 
-    def encode(self, xyz, train: bool = False, cached_idx=None):
+    def encode(self, xyz, train: bool = False, cached_idx=None, cached_geom=None):
         """xyz: [B, N, 3] -> (z_e [B, L, num_dim], token centers [B, L, 3]).
 
         ``cached_idx``: optional output of ``grouping_indices`` (computed on any rigid
-        rotation of ``xyz``) — removes all FPS/ball-query work from the forward."""
+        rotation of ``xyz``) — removes all FPS/ball-query work from the forward.
+        ``cached_geom``: optional per-stage (new_xyz, grouped_rel) in THIS call's frame
+        (pn2_grouping_geometry rotated by the caller) — also removes the xyz gathers, the
+        encoder's dominant cost inside the diffusion loop; ``xyz`` is then ignored."""
         i1, i2, i3 = cached_idx if cached_idx is not None else (None, None, None)
-        l1_xyz, l1_points = self.sa1(xyz, None, train, i1)
-        l2_xyz, l2_points = self.sa2(l1_xyz, l1_points, train, i2)
-        l3_xyz, l3_points = self.sa3(l2_xyz, l2_points, train, i3)
+        g1, g2, g3 = cached_geom if cached_geom is not None else (None, None, None)
+        l1_xyz, l1_points = self.sa1(xyz, None, train, i1, g1)
+        l2_xyz, l2_points = self.sa2(l1_xyz, l1_points, train, i2, g2)
+        l3_xyz, l3_points = self.sa3(l2_xyz, l2_points, train, i3, g3)
         return self.conv6(l3_points), l3_xyz
 
     def decode(self, global_feat):
@@ -224,9 +264,9 @@ class VQVAE(nn.Module):
             self.n_embeddings, self.embedding_dim, self.beta
         )
 
-    def encode(self, part_pcs, train: bool = False, cached_idx=None):
+    def encode(self, part_pcs, train: bool = False, cached_idx=None, cached_geom=None):
         """part_pcs: [B, N, 3] -> dict(z_q [B, L, num_dim], xyz [B, L, 3])."""
-        z_e, xyz = self.pn2.encode(part_pcs, train, cached_idx)
+        z_e, xyz = self.pn2.encode(part_pcs, train, cached_idx, cached_geom)
         z_e = z_e.astype(jnp.float32)  # code selection must not depend on compute dtype
         B, L, _ = z_e.shape
         _, z_q, _, _ = self.vector_quantization(z_e.reshape(B, 4 * L, -1))
