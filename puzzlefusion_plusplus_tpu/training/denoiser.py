@@ -82,12 +82,20 @@ def make_model(cfg: Config) -> DenoiserTransformer:
     )
 
 
-def loss_fn(params, model, encoder: FrozenEncoder, ddpm: DDPMParams, batch, rng, train):
+def loss_fn(params, model, encoder: FrozenEncoder, ddpm: DDPMParams, batch, rng, train,
+            timestep_set=None):
+    """``timestep_set``: optional [S] array of allowed training timesteps (the
+    train_on_inference_timesteps option); None = t ~ U[0, num_train_timesteps)."""
     gt = jnp.concatenate([batch["part_trans"], batch["part_rots"]], axis=-1)  # [B, P, 7]
     ref = batch["ref_part"].astype(bool)
     B = gt.shape[0]
     t_rng, n_rng, d_rng = jax.random.split(rng, 3)
-    timesteps = jax.random.randint(t_rng, (B,), 0, ddpm.num_train_timesteps)
+    if timestep_set is None:
+        timesteps = jax.random.randint(t_rng, (B,), 0, ddpm.num_train_timesteps)
+    else:
+        timesteps = timestep_set[
+            jax.random.randint(t_rng, (B,), 0, timestep_set.shape[0])
+        ]
     noise = jax.random.normal(n_rng, gt.shape, gt.dtype)
     noisy = add_noise(ddpm, gt, noise, timesteps)
     noisy = jnp.where(ref[..., None], gt, noisy)
@@ -114,9 +122,10 @@ def loss_fn(params, model, encoder: FrozenEncoder, ddpm: DDPMParams, batch, rng,
 @functools.partial(
     jax.jit, static_argnames=("model", "encoder", "tx"), donate_argnames=("state",)
 )
-def train_step(state: TrainState, batch, rng, model, encoder, ddpm, tx):
+def train_step(state: TrainState, batch, rng, model, encoder, ddpm, tx, timestep_set=None):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    (_, metrics), grads = grad_fn(state.params, model, encoder, ddpm, batch, rng, True)
+    (_, metrics), grads = grad_fn(state.params, model, encoder, ddpm, batch, rng, True,
+                                  timestep_set)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
     return TrainState(new_params, state.batch_stats, new_opt, state.step + 1), metrics
@@ -222,6 +231,11 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     )
     state = replicate(create_state(variables, tx), mesh)
     sample_fn = make_sample_fn(model, encoder, ddpm, cfg.denoiser.num_inference_steps)
+    timestep_set = (
+        jnp.asarray(leading_timesteps(cfg.denoiser.ddpm_train_steps,
+                                      cfg.denoiser.num_inference_steps))
+        if cfg.denoiser.train_on_inference_timesteps else None
+    )
 
     out_dir = f"{cfg.trainer.output_dir}/{cfg.trainer.experiment_name}/denoiser"
     logger = MetricsLogger(out_dir)
@@ -236,7 +250,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(
                 state, shard_batch(numeric_batch(batch), mesh), step_rng,
-                model, encoder, ddpm, tx,
+                model, encoder, ddpm, tx, timestep_set,
             )
             if step % cfg.trainer.log_every == 0:
                 logger.log(step, epoch=epoch, **jax.device_get(metrics))
