@@ -85,6 +85,7 @@ def main() -> None:
     cfg.trainer.precision = os.environ.get("PFPP_BENCH_PRECISION", cfg.trainer.precision)
 
     batch_size = 1 if cpu_baseline_mode else BATCH
+    cfg.inference.batch_size = batch_size  # selects the normals memory layout (run.py)
     ds = DenoiserDataset(
         cfg.data.data_val_dir, mode="test", matching_data_path=cfg.data.matching_data_path,
         max_num_part=cfg.data.max_num_part,

@@ -62,6 +62,9 @@ class AgglConfig(NamedTuple):
     scale_cutoff: float = 0.05  # "larger parts" cutoff (auto_aggl.py:181)
     intersect_threshold: float = 1e-3  # interpenetration CD cutoff (node_merge_utils.py:159)
     normals_k: int = 20
+    # 'analytic' is fastest; 'lowmem' avoids the padded [*, K, 3] gather temporaries that
+    # OOM HBM at engine batch >= ~32 (ops/normals.py module docstring)
+    normals_method: str = "analytic"
 
 
 class AgglState(NamedTuple):
@@ -323,7 +326,9 @@ def verify_and_merge(
     # so the lax.cond skips the [P, P, N] pairwise distances, normals, and the FPS loop
     def merge_geometry(_):
         # interpenetration filter (node_merge_utils.py:159-222)
-        normals = estimate_pointcloud_normals(transformed_pts, cfg.normals_k)
+        normals = estimate_pointcloud_normals(
+            transformed_pts, cfg.normals_k, method=cfg.normals_method
+        )
         same_comp = labels[:, None] == labels[None, :]
         pair_active = (
             same_comp

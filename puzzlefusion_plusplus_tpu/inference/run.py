@@ -53,6 +53,9 @@ def build_engine_fn(cfg: Config):
         max_iters=cfg.verifier.max_iters,
         num_inference_steps=cfg.denoiser.num_inference_steps,
         threshold=cfg.verifier.threshold,
+        # large engine batches hit HBM limits on the padded normals gathers; switch to the
+        # layout-safe variant (ops/normals.py) past the measured cliff
+        normals_method="lowmem" if cfg.inference.batch_size >= 16 else "analytic",
     )
 
     if cfg.denoiser.ckpt_path:
@@ -145,7 +148,18 @@ def save_inference_artifacts(out_dir: str, batch: dict, results: dict) -> None:
 
 
 def run_inference(cfg: Config, max_batches: int | None = None) -> dict:
+    from puzzlefusion_plusplus_tpu.parallel import (
+        data_parallel_mesh,
+        pad_batch_to_devices,
+        shard_batch,
+    )
+
     engine = build_engine_fn(cfg)
+    # data-parallel inference over every available chip (the reference is locked to one GPU
+    # at batch 1, docs/test.md:8): the batch dim is sharded over the mesh and XLA partitions
+    # the vmapped engine SPMD — assemblies/sec scales with chips
+    mesh = data_parallel_mesh(cfg.trainer.num_devices)
+    n_dev = mesh.devices.size
     ds = DenoiserDataset(
         cfg.data.data_val_dir, mode="test", matching_data_path=cfg.data.matching_data_path,
         max_num_part=cfg.data.max_num_part, overfit=cfg.data.overfit,
@@ -161,10 +175,15 @@ def run_inference(cfg: Config, max_batches: int | None = None) -> dict:
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
-        sample = {k: jnp.asarray(batch[k]) for k in SAMPLE_KEYS}
+        sample = {k: np.asarray(batch[k]) for k in SAMPLE_KEYS}
+        n_real = sample["part_pcs"].shape[0]
+        if n_dev > 1:
+            sample, _ = pad_batch_to_devices(sample, n_dev)
+        sample = shard_batch({k: jnp.asarray(v) for k, v in sample.items()}, mesh)
         rng, k = jax.random.split(rng)
         rngs = jax.random.split(k, sample["part_pcs"].shape[0])
         results = jax.device_get(engine(sample, rngs))
+        results = {k2: np.asarray(v)[:n_real] for k2, v in results.items()}
         for name in metrics:
             metrics[name].extend(np.asarray(results[name]).tolist())
         if cfg.inference.save_trajectories:

@@ -1,0 +1,94 @@
+"""Longest-affordable synthetic GENERALIZATION run (VERDICT #3 follow-through): train all
+three stages on N_TRAIN synthetic shapes with the production training loops, then evaluate
+the full auto-agglomerative engine on HELD-OUT shapes.
+
+Unlike scripts/overfit_proof.py this measures generalization: train and val are disjoint
+shape sets, augmentation is the full reference pipeline (fresh rotations every epoch,
+multi-ref curriculum), and checkpoint selection uses the top-k retention on eval part_acc.
+
+Env: N_TRAIN=256 N_VAL=16 STEPS_AE=4000 STEPS_DN=10000 STEPS_VF=1000
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+import numpy as np
+import jax.numpy as jnp
+
+from puzzlefusion_plusplus_tpu.data import generate_dataset
+from puzzlefusion_plusplus_tpu.training import denoiser as tden
+from puzzlefusion_plusplus_tpu.training import verifier as tvf
+from puzzlefusion_plusplus_tpu.training import vqvae as tvq
+from puzzlefusion_plusplus_tpu.utils.config import Config
+
+N_TRAIN = int(os.environ.get("N_TRAIN", "256"))
+N_VAL = int(os.environ.get("N_VAL", "16"))
+STEPS_AE = int(os.environ.get("STEPS_AE", "4000"))
+STEPS_DN = int(os.environ.get("STEPS_DN", "10000"))
+STEPS_VF = int(os.environ.get("STEPS_VF", "1000"))
+
+ROOT = f"/tmp/pfpp_gen_{N_TRAIN}"
+OUT = ROOT + "/out"
+t0 = time.time()
+if not os.path.exists(ROOT + "/.done"):
+    print(f"[{time.time()-t0:.0f}s] generating {N_TRAIN}+{N_VAL} shapes", flush=True)
+    generate_dataset(ROOT, num_shapes=N_TRAIN, seed=11, split="train",
+                     min_parts=3, max_parts=8, n_points=1000)
+    generate_dataset(ROOT, num_shapes=N_VAL, seed=12, split="val",
+                     min_parts=3, max_parts=8, n_points=1000)
+    open(ROOT + "/.done", "w").write("ok")
+
+cfg = Config()
+cfg.data.data_dir = ROOT + "/pc_data/train"
+cfg.data.data_val_dir = ROOT + "/pc_data/val"
+cfg.data.matching_data_path = ROOT + "/matching_data"
+cfg.data.verifier_data_path = ROOT + "/verifier_data"
+cfg.trainer.output_dir = OUT
+cfg.trainer.num_devices = 1
+
+# ---- stage 1
+ae_ckpt = OUT + "/everyday/vqvae/ckpt"
+if not os.path.isdir(ae_ckpt):
+    print(f"[{time.time()-t0:.0f}s] stage 1: VQ-VAE {STEPS_AE} steps", flush=True)
+    cfg.data.batch_size = 16
+    cfg.data.val_batch_size = 16
+    tvq.train(cfg, max_steps=STEPS_AE)
+cfg.denoiser.encoder_ckpt_path = ae_ckpt
+
+# ---- stage 2 (production loop; val every val_every epochs logs the part_acc curve)
+dn_ckpt = OUT + "/everyday/denoiser/ckpt"
+print(f"[{time.time()-t0:.0f}s] stage 2: denoiser {STEPS_DN} steps", flush=True)
+cfg.data.batch_size = 64
+cfg.data.val_batch_size = 16
+cfg.denoiser.train_on_inference_timesteps = True
+steps_per_epoch = max(N_TRAIN // cfg.data.batch_size, 1)
+cfg.denoiser.epochs = -(-STEPS_DN // steps_per_epoch)
+cfg.denoiser.val_every = max(cfg.denoiser.epochs // 20, 1)
+tden.train(cfg)
+
+# ---- stage 3
+print(f"[{time.time()-t0:.0f}s] stage 3: verifier {STEPS_VF} steps", flush=True)
+cfg.data.batch_size = 64
+cfg.data.val_batch_size = 64
+tvf.train(cfg, max_steps=STEPS_VF)
+
+# ---- engine on held-out shapes (best ckpt by eval part_acc via topk index)
+from puzzlefusion_plusplus_tpu.inference.run import run_inference
+
+cfg.denoiser.ckpt_path = dn_ckpt
+cfg.verifier.ckpt_path = OUT + "/everyday/verifier/ckpt"
+cfg.inference.batch_size = 8
+cfg.inference.save_trajectories = False
+agg = run_inference(cfg)
+print(f"[{time.time()-t0:.0f}s] HELD-OUT engine metrics: {agg}", flush=True)

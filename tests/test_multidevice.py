@@ -258,3 +258,49 @@ def test_engine_sharded_vs_unsharded(tmp_path_factory):
         assert not np.allclose(res_merge["trajectory"], res_sharded["trajectory"])
     finally:
         tden.make_ae_model = orig
+
+
+def test_run_inference_shards_and_pads(tmp_path_factory):
+    """run_inference shards loader batches across the mesh and pads ragged final batches
+    (the entry-point data-parallel inference path)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from puzzlefusion_plusplus_tpu.data import generate_dataset
+    from puzzlefusion_plusplus_tpu.inference.run import run_inference
+    from puzzlefusion_plusplus_tpu.models.vqvae import VQVAE
+    from puzzlefusion_plusplus_tpu.utils.config import Config
+    import puzzlefusion_plusplus_tpu.training.denoiser as tden
+
+    root = str(tmp_path_factory.mktemp("run_inf_md"))
+    # 5 shapes with batch 8 over 8 devices: one ragged batch that must be padded 5 -> 8
+    generate_dataset(root, num_shapes=5, seed=6, split="val", min_parts=3, max_parts=4,
+                     n_points=96)
+    cfg = Config()
+    cfg.data.max_num_part = 5
+    cfg.data.num_pc_points = 96
+    cfg.data.data_val_dir = root + "/pc_data/val"
+    cfg.data.matching_data_path = root + "/matching_data"
+    cfg.denoiser.embed_dim = 32
+    cfg.denoiser.num_layers = 1
+    cfg.denoiser.num_heads = 2
+    cfg.denoiser.num_inference_steps = 2
+    cfg.verifier.embed_dim = 32
+    cfg.verifier.num_layers = 1
+    cfg.verifier.num_heads = 2
+    cfg.verifier.max_iters = 2
+    cfg.inference.batch_size = 8
+    cfg.inference.save_trajectories = False
+    cfg.trainer.output_dir = str(tmp_path_factory.mktemp("run_inf_out"))
+
+    orig = tden.make_ae_model
+    tden.make_ae_model = lambda cfg: VQVAE(
+        n_embeddings=32, embedding_dim=16, num_point=25, num_dim=64,
+        sa_npoints=(24, 12), sa_nsamples=(8, 8, 8),
+    )
+    try:
+        agg = run_inference(cfg)
+    finally:
+        tden.make_ae_model = orig
+    assert agg["num_samples"] == 5  # padded rows sliced off, only real samples counted
+    for k in ("eval/part_acc", "eval/shape_cd", "eval/rmse_r", "eval/rmse_t"):
+        assert np.isfinite(agg[k]), k
