@@ -26,7 +26,7 @@ from puzzlefusion_plusplus_tpu.training.denoiser import (
     load_frozen_encoder,
     make_model as make_denoiser_model,
 )
-from puzzlefusion_plusplus_tpu.training.state import load_model_params
+from puzzlefusion_plusplus_tpu.training.state import jitted_init, load_model_params
 from puzzlefusion_plusplus_tpu.training.verifier import make_model as make_verifier_model
 from puzzlefusion_plusplus_tpu.utils.config import Config, config_from_argv
 from puzzlefusion_plusplus_tpu.utils.metrics import (
@@ -67,21 +67,27 @@ def build_engine_fn(cfg: Config):
     else:
         ver_params = _init_verifier_params(cfg, verifier)
 
-    def denoiser_apply(noisy, t, latent, xyz, valids, scale, ref):
-        return denoiser.apply(
-            {"params": den_params}, noisy, t, latent, xyz, valids, scale, ref, train=False
-        )
-
-    def verifier_apply(feats, indices, valids):
-        return verifier.apply({"params": ver_params}, feats, indices, valids, train=False)
-
-    def one_sample(sample, rng):
-        return auto_agglomerate(
-            denoiser_apply, verifier_apply, encoder, ddpm, sample, rng, acfg
-        )
-
+    # The ~250 MB of transformer weights MUST flow in as jit ARGUMENTS, not closure
+    # captures: closed-over arrays lower to HLO constants, which bloated the compiled
+    # engine executable to 735 MB (a 527 MB HLO text) and cost ~300 s of XLA processing
+    # per process start even with a warm persistent cache (measured round 2).
     @jax.jit
-    def engine_batch(batch, rngs):
+    def engine_batch(params, batch, rngs):
+        dp, vp = params["denoiser"], params["verifier"]
+
+        def denoiser_apply(noisy, t, latent, xyz, valids, scale, ref):
+            return denoiser.apply(
+                {"params": dp}, noisy, t, latent, xyz, valids, scale, ref, train=False
+            )
+
+        def verifier_apply(feats, indices, valids):
+            return verifier.apply({"params": vp}, feats, indices, valids, train=False)
+
+        def one_sample(sample, rng):
+            return auto_agglomerate(
+                denoiser_apply, verifier_apply, encoder, ddpm, sample, rng, acfg
+            )
+
         out = jax.vmap(one_sample)(batch, rngs)
         pts = batch["part_pcs"] * batch["part_scale"][..., None]  # original local clouds
         gt_trans, gt_rots = batch["part_trans"], batch["part_rots"]
@@ -99,13 +105,18 @@ def build_engine_fn(cfg: Config):
             "trajectory": out["trajectory"],
         }
 
-    return engine_batch
+    param_bundle = {"denoiser": den_params, "verifier": ver_params}
+
+    def engine(batch, rngs):
+        return engine_batch(param_bundle, batch, rngs)
+
+    return engine
 
 
 def _init_denoiser_params(cfg, model):
     P, L = cfg.data.max_num_part, cfg.denoiser.num_point
-    v = model.init(
-        jax.random.key(0),
+    v = jitted_init(
+        model, jax.random.key(0),
         jnp.zeros((1, P, 7)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, P, L, cfg.denoiser.num_dim)), jnp.zeros((1, P, L, 3)),
         jnp.ones((1, P)), jnp.ones((1, P, 1)), jnp.zeros((1, P), bool), train=False,
@@ -115,8 +126,8 @@ def _init_denoiser_params(cfg, model):
 
 def _init_verifier_params(cfg, model):
     E = cfg.data.max_num_part * (cfg.data.max_num_part - 1) // 2
-    v = model.init(
-        jax.random.key(0),
+    v = jitted_init(
+        model, jax.random.key(0),
         jnp.zeros((1, E, cfg.verifier.num_features)), jnp.zeros((1, E, 2), jnp.int32),
         jnp.ones((1, E)), train=False,
     )

@@ -29,6 +29,7 @@ from puzzlefusion_plusplus_tpu.training.state import (
     MetricsLogger,
     TrainState,
     create_state,
+    jitted_init,
     save_checkpoint,
 )
 from puzzlefusion_plusplus_tpu.training.verifier import binary_cls_metrics
@@ -130,8 +131,8 @@ def train_matching(
     rng = jax.random.key(seed)
     sample = numeric_batch(next(iter(loader)))
     n_valid0 = jnp.asarray(sample["part_valids"]).sum(-1).astype(jnp.int32)
-    variables = model.init(
-        rng,
+    variables = jitted_init(
+        model, rng,
         jnp.asarray(sample["part_pcs"]), jnp.asarray(sample["piece_id"]), n_valid0,
         jnp.zeros(sample["piece_id"].shape, jnp.int32),
         train=False, compute_matching=True,

@@ -49,6 +49,7 @@ from puzzlefusion_plusplus_tpu.training.state import (
     TrainState,
     adamw_reference,
     create_state,
+    jitted_init,
     load_model_params,
     save_checkpoint,
 )
@@ -193,7 +194,7 @@ def load_frozen_encoder(cfg: Config) -> FrozenEncoder:
         params, batch_stats = load_model_params(cfg.denoiser.encoder_ckpt_path)
     else:  # untrained encoder (smoke/test runs)
         flat = jnp.zeros((1, cfg.data.num_pc_points, 3))
-        variables = ae.init(jax.random.key(0), flat, train=False)
+        variables = jitted_init(ae, jax.random.key(0), flat, train=False)
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
     return make_frozen_encoder(ae, params, batch_stats)
 
@@ -222,8 +223,8 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     rng = jax.random.key(cfg.trainer.seed)
     rng, init_rng = jax.random.split(rng)
     P, L = cfg.data.max_num_part, cfg.denoiser.num_point
-    variables = model.init(
-        init_rng,
+    variables = jitted_init(
+        model, init_rng,
         jnp.zeros((1, P, 7)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, P, L, cfg.denoiser.num_dim)), jnp.zeros((1, P, L, 3)),
         jnp.ones((1, P)), jnp.ones((1, P, 1)), jnp.zeros((1, P), bool),

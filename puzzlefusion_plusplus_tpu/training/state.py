@@ -31,6 +31,15 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def jitted_init(model, rng, *args, **kwargs):
+    """``model.init`` under jit: one compiled program, params born on device.
+
+    Eager (op-by-op) flax init through the axon TPU tunnel costs ~1 s per op — a
+    production-size transformer init measured 270+ s, dwarfing the actual XLA compile of
+    the program that uses the params (CLAUDE.md gotcha: jit everything, including inits)."""
+    return jax.jit(lambda k: model.init(k, *args, **kwargs))(rng)
+
+
 def adamw_reference(lr: float, b1: float = 0.95, b2: float = 0.999,
                     weight_decay: float = 1e-6) -> optax.GradientTransformation:
     """The denoiser/verifier optimizer (denoiser.py:228-236)."""

@@ -29,6 +29,7 @@ from puzzlefusion_plusplus_tpu.training.state import (
     TrainState,
     adamw_reference,
     create_state,
+    jitted_init,
     save_checkpoint,
 )
 from puzzlefusion_plusplus_tpu.utils.config import Config, config_from_argv
@@ -115,8 +116,8 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     rng = jax.random.key(cfg.trainer.seed)
     rng, init_rng = jax.random.split(rng)
     E = train_ds.max_edges
-    variables = model.init(
-        init_rng,
+    variables = jitted_init(
+        model, init_rng,
         jnp.zeros((1, E, cfg.verifier.num_features)),
         jnp.zeros((1, E, 2), jnp.int32),
         jnp.ones((1, E)),

@@ -35,6 +35,7 @@ from puzzlefusion_plusplus_tpu.training.state import (
     TrainState,
     adamw_multistep,
     create_state,
+    jitted_init,
     save_checkpoint,
 )
 from puzzlefusion_plusplus_tpu.utils.config import Config, config_from_argv
@@ -131,7 +132,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     rng = jax.random.key(cfg.trainer.seed)
     sample = numeric_batch(next(iter(train_loader)))
     flat, _ = _flatten_compact({k: jnp.asarray(v) for k, v in sample.items()})
-    variables = model.init(rng, flat, train=False)
+    variables = jitted_init(model, rng, flat, train=False)
     state = replicate(create_state(variables, tx), mesh)
 
     out_dir = f"{cfg.trainer.output_dir}/{cfg.trainer.experiment_name}/vqvae"
