@@ -2,6 +2,7 @@ from puzzlefusion_plusplus_tpu.inference.engine import (
     AgglConfig,
     AgglState,
     auto_agglomerate,
+    auto_agglomerate_batch,
     connected_components,
 )
 from puzzlefusion_plusplus_tpu.inference.sampler import (
@@ -15,6 +16,7 @@ __all__ = [
     "AgglConfig",
     "AgglState",
     "auto_agglomerate",
+    "auto_agglomerate_batch",
     "connected_components",
     "FrozenEncoder",
     "ddpm_sample",

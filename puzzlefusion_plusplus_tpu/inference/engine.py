@@ -226,14 +226,35 @@ def make_denoise_phase(
     return denoise_phase
 
 
-def verify_and_merge(
+class MergeCtx(NamedTuple):
+    """Everything the heavy merge geometry + commit need from the verify pass, so the
+    geometry can be gated on a BATCH-GLOBAL ``part_merges.any()`` outside vmap: a
+    per-sample ``lax.cond`` under vmap lowers to ``select`` and executes BOTH branches
+    for every sample (the round-1 finding) — hoisting the predicate over the batch makes
+    the skip real whenever no sample in the batch merges this iteration."""
+
+    transformed_pts: jnp.ndarray  # [P, N, 3] world-pose clouds
+    labels: jnp.ndarray  # [P] component labels
+    label_pivot: jnp.ndarray  # [P] largest-scale member per label
+    centroid: jnp.ndarray  # [P, 3] per-label member centroid
+    merging: jnp.ndarray  # [P] bool per label
+    part_merges: jnp.ndarray  # [P] bool per part
+    classified: jnp.ndarray  # [P] bool (post-verify, pre-merge)
+    larger: jnp.ndarray  # [P] bool (scale cutoff, from the pre-verify state)
+    done: jnp.ndarray  # [] bool (after the pre-merge early-stop check)
+
+
+def verify_phase(
     state: AgglState,
     verifier_apply: Callable,
     matching: dict,
     num_parts: jnp.ndarray,
     cfg: AgglConfig,
     triu: jnp.ndarray,  # [Et, 2]
-) -> AgglState:
+) -> tuple[AgglState, MergeCtx]:
+    """Verifier forward + graph/bookkeeping updates (everything in the reference's verify
+    and merge steps EXCEPT the merged-cloud geometry). Returns the partially-updated state
+    and the MergeCtx for merge_geometry/commit_merge."""
     P, N, _ = state.part_pcs.shape
     trans, quat_raw = state.noisy[..., :3], state.noisy[..., 3:]
     quat = quat_normalize(quat_raw)
@@ -321,92 +342,132 @@ def verify_and_merge(
     new_area = area_world - centroid[labels][:, None, :]
     area_pts = jnp.where(part_merges[:, None, None], new_area, state.area_pts)
 
-    # ---- heavy merge geometry (interpenetration filter + FPS resample), gated on whether
-    # ANY component merges this iteration — in typical runs most iterations merge nothing,
-    # so the lax.cond skips the [P, P, N] pairwise distances, normals, and the FPS loop
-    def merge_geometry(_):
-        # interpenetration filter (node_merge_utils.py:159-222)
-        normals = estimate_pointcloud_normals(
-            transformed_pts, cfg.normals_k, method=cfg.normals_method
-        )
-        same_comp = labels[:, None] == labels[None, :]
-        pair_active = (
-            same_comp
-            & state.node_valids[:, None] & state.node_valids[None, :]
-            & ~jnp.eye(P, dtype=bool)
-            & part_merges[:, None] & part_merges[None, :]
-        )
-        keep = interpenetration_keep_mask(
-            transformed_pts, normals, pair_active, cfg.intersect_threshold
-        )  # [P, N]
-
-        # FPS the merged cloud of every MERGING label back to N points. A merging component
-        # consumes >= 2 disjoint valid nodes, so at most floor(P/2) labels merge per
-        # iteration — compacting them into K = P//2 slots (merging-first argsort) halves the
-        # FPS work with zero semantic change. Sampling runs on the un-recentered world
-        # points (FPS is translation-invariant) with per-label masks.
-        K = max(P // 2, 1)
-        sel = jnp.argsort(~merging, stable=True).astype(jnp.int32)[:K]  # [K] label ids
-        sel_valid = merging[sel]
-        flat_pts = transformed_pts.reshape(P * N, 3)
-        fps_mask = (
-            member[sel][:, :, None] & state.node_valids[None, :, None] & keep[None]
-        ).reshape(K, P * N)  # [slot, P*N]
-        fps_mask = fps_mask & sel_valid[:, None]
-        fps_idx = farthest_point_sample(
-            jnp.broadcast_to(flat_pts[None], (K, P * N, 3)), N, mask=fps_mask
-        )  # [slot, N]
-        merged_k = flat_pts[fps_idx] - centroid[sel][:, None, :]  # [slot, N, 3]
-        scale_k = jnp.abs(merged_k).max(axis=(1, 2))  # [slot]
-        merged_k = merged_k / jnp.maximum(scale_k[:, None, None], 1e-12)
-        w = sel_valid[:, None, None]
-        merged_ = jnp.zeros((P, N, 3), merged_k.dtype).at[sel].set(
-            jnp.where(w, merged_k, 0.0)
-        )
-        merge_scale_ = jnp.zeros(P).at[sel].set(jnp.where(sel_valid, scale_k, 0.0))
-        return merged_, merge_scale_
-
-    merged, merge_scale = jax.lax.cond(
-        part_merges.any(),
-        merge_geometry,
-        lambda _: (jnp.zeros((P, N, 3), transformed_pts.dtype), jnp.zeros(P)),
-        operand=None,
+    mid = state._replace(
+        reference_vals=reference_vals, ref_part=ref_part, area_pts=area_pts,
+        init_pose=init_pose, adj=adj,
     )
+    ctx = MergeCtx(
+        transformed_pts=transformed_pts, labels=labels, label_pivot=label_pivot,
+        centroid=centroid, merging=merging, part_merges=part_merges,
+        classified=classified, larger=larger, done=done,
+    )
+    return mid, ctx
 
-    # ---- commit merged clouds at each merging label's pivot part
+
+def merge_geometry(
+    ctx: MergeCtx, node_valids: jnp.ndarray, cfg: AgglConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The heavy merge geometry: interpenetration filter + masked FPS resample
+    (node_merge_utils.py:159-222). Returns (merged [P, N, 3], merge_scale [P]) indexed by
+    component label; only labels with ``ctx.merging`` carry data."""
+    P, N, _ = ctx.transformed_pts.shape
+    transformed_pts, labels = ctx.transformed_pts, ctx.labels
+    part_merges, merging, centroid = ctx.part_merges, ctx.merging, ctx.centroid
+    member = labels[None, :] == jnp.arange(P, dtype=jnp.int32)[:, None]  # [label, part]
+
+    # interpenetration filter (node_merge_utils.py:159-222)
+    normals = estimate_pointcloud_normals(
+        transformed_pts, cfg.normals_k, method=cfg.normals_method
+    )
+    same_comp = labels[:, None] == labels[None, :]
+    pair_active = (
+        same_comp
+        & node_valids[:, None] & node_valids[None, :]
+        & ~jnp.eye(P, dtype=bool)
+        & part_merges[:, None] & part_merges[None, :]
+    )
+    keep = interpenetration_keep_mask(
+        transformed_pts, normals, pair_active, cfg.intersect_threshold
+    )  # [P, N]
+
+    # FPS the merged cloud of every MERGING label back to N points. A merging component
+    # consumes >= 2 disjoint valid nodes, so at most floor(P/2) labels merge per
+    # iteration — compacting them into K = P//2 slots (merging-first argsort) halves the
+    # FPS work with zero semantic change. Sampling runs on the un-recentered world
+    # points (FPS is translation-invariant) with per-label masks.
+    K = max(P // 2, 1)
+    sel = jnp.argsort(~merging, stable=True).astype(jnp.int32)[:K]  # [K] label ids
+    sel_valid = merging[sel]
+    flat_pts = transformed_pts.reshape(P * N, 3)
+    fps_mask = (
+        member[sel][:, :, None] & node_valids[None, :, None] & keep[None]
+    ).reshape(K, P * N)  # [slot, P*N]
+    fps_mask = fps_mask & sel_valid[:, None]
+    fps_idx = farthest_point_sample(
+        jnp.broadcast_to(flat_pts[None], (K, P * N, 3)), N, mask=fps_mask
+    )  # [slot, N]
+    merged_k = flat_pts[fps_idx] - centroid[sel][:, None, :]  # [slot, N, 3]
+    scale_k = jnp.abs(merged_k).max(axis=(1, 2))  # [slot]
+    merged_k = merged_k / jnp.maximum(scale_k[:, None, None], 1e-12)
+    w = sel_valid[:, None, None]
+    merged_ = jnp.zeros((P, N, 3), merged_k.dtype).at[sel].set(
+        jnp.where(w, merged_k, 0.0)
+    )
+    merge_scale_ = jnp.zeros(P).at[sel].set(jnp.where(sel_valid, scale_k, 0.0))
+    return merged_, merge_scale_
+
+
+def commit_merge(
+    orig: AgglState,
+    mid: AgglState,
+    ctx: MergeCtx,
+    merged: jnp.ndarray,
+    merge_scale: jnp.ndarray,
+) -> AgglState:
+    """Commit merged clouds at each merging label's pivot part + the done-freeze
+    (auto_aggl.py:276-289). ``orig`` is the pre-verify state (freeze reference)."""
+    P = ctx.labels.shape[0]
+    labels, label_pivot, part_merges = ctx.labels, ctx.label_pivot, ctx.part_merges
+
     is_new_pivot = part_merges & (label_pivot[labels] == jnp.arange(P))  # [P]
-    part_pcs = jnp.where(is_new_pivot[:, None, None], merged[labels], state.part_pcs)
-    part_scale = jnp.where(is_new_pivot, merge_scale[labels], state.part_scale)
-    part_valids = jnp.where(part_merges, 0.0, state.part_valids)
+    part_pcs = jnp.where(is_new_pivot[:, None, None], merged[labels], mid.part_pcs)
+    part_scale = jnp.where(is_new_pivot, merge_scale[labels], mid.part_scale)
+    part_valids = jnp.where(part_merges, 0.0, mid.part_valids)
     part_valids = jnp.where(is_new_pivot, 1.0, part_valids)
-    node_valids = jnp.where(part_merges, is_new_pivot, state.node_valids)
-    pivot = jnp.where(part_merges, label_pivot[labels], state.pivot)
-    classified = classified | part_merges
+    node_valids = jnp.where(part_merges, is_new_pivot, mid.node_valids)
+    pivot = jnp.where(part_merges, label_pivot[labels], mid.pivot)
+    classified = ctx.classified | part_merges
 
-    done = done | jnp.all(classified == larger)
+    done = ctx.done | jnp.all(classified == ctx.larger)
 
-    new_state = state._replace(
-        reference_vals=reference_vals, ref_part=ref_part, part_valids=part_valids,
-        part_scale=part_scale, part_pcs=part_pcs, area_pts=area_pts, pivot=pivot,
-        node_valids=node_valids, init_pose=init_pose, classified=classified, adj=adj,
-        done=done,
+    new_state = mid._replace(
+        part_valids=part_valids, part_scale=part_scale, part_pcs=part_pcs, pivot=pivot,
+        node_valids=node_valids, classified=classified, done=done,
     )
     # once done, the whole verify/merge phase is a no-op (the reference broke out of the loop)
     return jax.tree.map(
-        lambda o, n: n if o is n else jnp.where(state.done, o, n), state, new_state
+        lambda o, n: n if o is n else jnp.where(orig.done, o, n), orig, new_state
     )
 
 
-def auto_agglomerate(
-    denoiser_apply: Callable,
+def verify_and_merge(
+    state: AgglState,
     verifier_apply: Callable,
-    encoder: FrozenEncoder,
-    ddpm: DDPMParams,
-    sample: dict,  # single test-mode sample (no batch dim)
-    rng: jax.Array,
+    matching: dict,
+    num_parts: jnp.ndarray,
     cfg: AgglConfig,
-) -> dict:
-    """Full denoise-verify-merge loop for one shape. Returns final poses + trajectory."""
+    triu: jnp.ndarray,  # [Et, 2]
+) -> AgglState:
+    """Single-sample verify + merge (the composition the property tests transcribe).
+    Batched callers should gate merge_geometry on a batch-global any() instead
+    (auto_agglomerate_batch) — under vmap this per-sample cond runs both branches."""
+    P, N, _ = state.part_pcs.shape
+    mid, ctx = verify_phase(state, verifier_apply, matching, num_parts, cfg, triu)
+    merged, merge_scale = jax.lax.cond(
+        ctx.part_merges.any(),
+        lambda _: merge_geometry(ctx, mid.node_valids, cfg),
+        lambda _: (jnp.zeros((P, N, 3), ctx.transformed_pts.dtype), jnp.zeros(P)),
+        operand=None,
+    )
+    return commit_merge(state, mid, ctx, merged, merge_scale)
+
+
+MATCHING_KEYS = ("match_edges", "match_edge_valid", "corr_src", "corr_tgt", "corr_count")
+
+
+def make_init_state(sample: dict, rng: jax.Array) -> AgglState:
+    """Initial engine state for one shape (auto_aggl.py:96-132): noise all poses, pin the
+    reference part to GT, identity graph state."""
     P = sample["part_valids"].shape[0]
     gt = jnp.concatenate([sample["part_trans"], sample["part_rots"]], axis=-1)
     ref0 = sample["ref_part"].astype(bool)
@@ -414,7 +475,7 @@ def auto_agglomerate(
     noisy0 = jax.random.normal(k, gt.shape, gt.dtype)
     noisy0 = jnp.where(ref0[:, None], gt, noisy0)
 
-    state = AgglState(
+    return AgglState(
         noisy=noisy0,
         reference_vals=jnp.where(ref0[:, None], gt, 0.0),
         ref_part=ref0,
@@ -430,10 +491,22 @@ def auto_agglomerate(
         done=jnp.asarray(False),
         rng=rng,
     )
-    matching = {
-        k2: sample[k2]
-        for k2 in ("match_edges", "match_edge_valid", "corr_src", "corr_tgt", "corr_count")
-    }
+
+
+def auto_agglomerate(
+    denoiser_apply: Callable,
+    verifier_apply: Callable,
+    encoder: FrozenEncoder,
+    ddpm: DDPMParams,
+    sample: dict,  # single test-mode sample (no batch dim)
+    rng: jax.Array,
+    cfg: AgglConfig,
+) -> dict:
+    """Full denoise-verify-merge loop for one shape. Returns final poses + trajectory."""
+    P = sample["part_valids"].shape[0]
+    gt = jnp.concatenate([sample["part_trans"], sample["part_rots"]], axis=-1)
+    state = make_init_state(sample, rng)
+    matching = {k2: sample[k2] for k2 in MATCHING_KEYS}
     num_parts = jnp.asarray(sample["num_parts"], jnp.int32)
     triu = jnp.asarray(_triu_indices(P))
 
@@ -463,5 +536,92 @@ def auto_agglomerate(
         "pred_trans": final_trans,
         "pred_rots": final_rots,
         "trajectory": traj_buf,  # [max_iters*S, P, 7]
+        "final_state": state,
+    }
+
+
+def auto_agglomerate_batch(
+    denoiser_apply: Callable,
+    verifier_apply: Callable,
+    encoder: FrozenEncoder,
+    ddpm: DDPMParams,
+    batch: dict,  # batched test-mode samples, leading dim B
+    rngs: jax.Array,  # [B] keys
+    cfg: AgglConfig,
+) -> dict:
+    """Batched engine: per-sample phases vmapped, but the heavy merge geometry is gated on
+    a BATCH-GLOBAL ``part_merges.any()`` (a real runtime branch — a per-sample cond under
+    vmap lowers to select and executes both branches for every sample), and the iteration
+    loop is a ``lax.while_loop`` that exits as soon as EVERY sample is done (the reference's
+    per-sample early break, auto_aggl.py:288-289, lifted to the batch).
+
+    Outputs are identical to ``vmap(auto_agglomerate)``: frozen samples' trajectories keep
+    recording the frozen pose (rows past an early exit are backfilled with the final pose),
+    and per-sample rng streams only diverge after a sample is already frozen.
+    """
+    B, P = batch["part_valids"].shape
+    N = batch["part_pcs"].shape[2]
+    gt_dtype = batch["part_trans"].dtype
+
+    state = jax.vmap(make_init_state)(
+        {
+            k: batch[k]
+            for k in ("part_trans", "part_rots", "ref_part", "part_valids",
+                      "part_scale", "part_pcs", "area_pts")
+        },
+        rngs,
+    )
+    matching = {k: batch[k] for k in MATCHING_KEYS}
+    num_parts = jnp.asarray(batch["num_parts"], jnp.int32)
+    triu = jnp.asarray(_triu_indices(P))
+
+    denoise_phase = make_denoise_phase(denoiser_apply, encoder, ddpm, cfg)
+    S = cfg.num_inference_steps
+    traj_buf = jnp.zeros((B, cfg.max_iters * S, P, 7), gt_dtype)
+
+    def run_verify(state):
+        orig = state
+        mid, ctx = jax.vmap(
+            lambda s, m, n_: verify_phase(s, verifier_apply, m, n_, cfg, triu)
+        )(state, matching, num_parts)
+        merged, merge_scale = jax.lax.cond(
+            jnp.any(ctx.part_merges),
+            lambda _: jax.vmap(lambda c, nv: merge_geometry(c, nv, cfg))(
+                ctx, mid.node_valids
+            ),
+            lambda _: (
+                jnp.zeros((B, P, N, 3), ctx.transformed_pts.dtype),
+                jnp.zeros((B, P)),
+            ),
+            operand=None,
+        )
+        return jax.vmap(commit_merge)(orig, mid, ctx, merged, merge_scale)
+
+    def body(carry):
+        it, state, traj_buf = carry
+        state, traj = jax.vmap(denoise_phase)(state)  # traj [B, S, P, 7]
+        traj_buf = jax.lax.dynamic_update_slice(traj_buf, traj, (0, it * S, 0, 0))
+        state = jax.lax.cond(it + 1 < cfg.max_iters, run_verify, lambda s: s, state)
+        return it + 1, state, traj_buf
+
+    def cond_fn(carry):
+        it, state, _ = carry
+        return (it < cfg.max_iters) & ~jnp.all(state.done)
+
+    it, state, traj_buf = jax.lax.while_loop(
+        cond_fn, body, (jnp.asarray(0, jnp.int32), state, traj_buf)
+    )
+
+    final_trans, final_rots = jax.vmap(compose_poses)(
+        state.noisy, state.pivot, state.init_pose
+    )
+    # rows past an early exit repeat the final frozen pose (what the fori engine recorded)
+    final_pose = jnp.concatenate([final_trans, final_rots], axis=-1)  # [B, P, 7]
+    recorded = jnp.arange(cfg.max_iters * S) < it * S
+    traj_buf = jnp.where(recorded[None, :, None, None], traj_buf, final_pose[:, None])
+    return {
+        "pred_trans": final_trans,
+        "pred_rots": final_rots,
+        "trajectory": traj_buf,  # [B, max_iters*S, P, 7]
         "final_state": state,
     }

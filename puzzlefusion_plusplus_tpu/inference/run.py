@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from puzzlefusion_plusplus_tpu.data import DenoiserDataset, Loader
-from puzzlefusion_plusplus_tpu.inference.engine import AgglConfig, auto_agglomerate
+from puzzlefusion_plusplus_tpu.inference.engine import AgglConfig, auto_agglomerate_batch
 from puzzlefusion_plusplus_tpu.models.scheduler import DDPMParams
 from puzzlefusion_plusplus_tpu.training.denoiser import (
     load_frozen_encoder,
@@ -83,12 +83,9 @@ def build_engine_fn(cfg: Config):
         def verifier_apply(feats, indices, valids):
             return verifier.apply({"params": vp}, feats, indices, valids, train=False)
 
-        def one_sample(sample, rng):
-            return auto_agglomerate(
-                denoiser_apply, verifier_apply, encoder, ddpm, sample, rng, acfg
-            )
-
-        out = jax.vmap(one_sample)(batch, rngs)
+        out = auto_agglomerate_batch(
+            denoiser_apply, verifier_apply, encoder, ddpm, batch, rngs, acfg
+        )
         pts = batch["part_pcs"] * batch["part_scale"][..., None]  # original local clouds
         gt_trans, gt_rots = batch["part_trans"], batch["part_rots"]
         valids = batch["part_valids"]

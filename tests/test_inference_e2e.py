@@ -80,3 +80,61 @@ def test_engine_end_to_end(small_setup):
         traj = np.load(os.path.join(d, [n for n in names if n.startswith("predict_")][0]))
         n_valid = int(batch["part_valids"][i].sum())
         assert traj.shape == (S, n_valid, 7)
+
+
+def test_batched_engine_matches_vmapped_single(small_setup):
+    """auto_agglomerate_batch (batch-global merge gating + early-exit while_loop) must
+    reproduce vmap(auto_agglomerate) exactly — same phases, same rng streams; only the
+    control flow around the merge geometry differs."""
+    cfg, _, batch, _ = small_setup
+    from puzzlefusion_plusplus_tpu.inference import run as R
+    from puzzlefusion_plusplus_tpu.inference.engine import (
+        AgglConfig,
+        auto_agglomerate,
+        auto_agglomerate_batch,
+    )
+    from puzzlefusion_plusplus_tpu.models.scheduler import DDPMParams
+    from puzzlefusion_plusplus_tpu.training.denoiser import (
+        load_frozen_encoder,
+        make_model as mk_den,
+    )
+    from puzzlefusion_plusplus_tpu.training.verifier import make_model as mk_ver
+
+    den, ver, enc = mk_den(cfg), mk_ver(cfg), load_frozen_encoder(cfg)
+    dp = R._init_denoiser_params(cfg, den)
+    vp = R._init_verifier_params(cfg, ver)
+    ddpm = DDPMParams.piecewise(cfg.denoiser.ddpm_train_steps)
+    # low threshold so the random-weight verifier classifies edges and merges actually fire
+    acfg = AgglConfig(max_iters=3, threshold=0.2)
+
+    def dapply(noisy, t, latent, xyz, valids, scale, ref):
+        return den.apply(
+            {"params": dp}, noisy, t, latent, xyz, valids, scale, ref, train=False
+        )
+
+    def vapply(feats, indices, valids):
+        return ver.apply({"params": vp}, feats, indices, valids, train=False)
+
+    sample = {k: jnp.asarray(batch[k]) for k in R.SAMPLE_KEYS}
+    rngs = jax.random.split(jax.random.key(3), 2)
+
+    single = jax.jit(
+        jax.vmap(lambda s, r: auto_agglomerate(dapply, vapply, enc, ddpm, s, r, acfg))
+    )(sample, rngs)
+    batched = jax.jit(
+        lambda b, r: auto_agglomerate_batch(dapply, vapply, enc, ddpm, b, r, acfg)
+    )(sample, rngs)
+
+    merged_any = bool(np.asarray(batched["final_state"].classified).any())
+    for k in ("pred_trans", "pred_rots", "trajectory"):
+        np.testing.assert_allclose(
+            np.asarray(single[k]), np.asarray(batched[k]), atol=1e-5,
+            err_msg=f"{k} (merges fired: {merged_any})",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(single["final_state"].pivot), np.asarray(batched["final_state"].pivot)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single["final_state"].part_valids),
+        np.asarray(batched["final_state"].part_valids),
+    )
