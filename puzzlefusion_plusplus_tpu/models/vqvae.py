@@ -97,14 +97,19 @@ class PointNetSetAbstraction(nn.Module):
     dtype: object = None  # compute dtype (bf16 for mixed precision); params stay fp32
 
     @nn.compact
-    def __call__(self, xyz, points, train: bool = False, idx=None, geom=None):
+    def __call__(self, xyz, points, train: bool = False, idx=None, geom=None, rot=None):
         """xyz: [B, N, 3], points: [B, N, D] or None -> (new_xyz [B, S, 3], feats [B, S, C]).
 
         ``idx``: optional precomputed (fps_idx, group_idx) from ``sa_stage_indices`` —
         skips the FPS/ball-query recomputation (identical results for rotated inputs).
-        ``geom``: optional (new_xyz, grouped_rel) ALREADY in this call's frame (e.g. cached
-        unrotated geometry rotated by the caller, pn2_grouping_geometry) — skips the xyz
-        gathers entirely; ``xyz`` is then only consulted for feature gathers via ``idx``.
+        ``geom``: optional (new_xyz, grouped_rel) from ``pn2_grouping_geometry`` — skips the
+        xyz gathers entirely; ``xyz`` is then only consulted for feature gathers via ``idx``.
+        ``rot``: optional per-cloud rotation matrices [B, 3, 3]. When given with ``geom``,
+        the cached geometry is treated as UNROTATED and the rotation is FOLDED INTO the
+        first Dense: conv0(g @ R^T) == g @ (R^T K_xyz), so the per-step elementwise qrot of
+        the grouped [B, S, K, 3] tensors (lane-hostile trailing-3 layout, measured 1.7 ms
+        per denoise step at engine batch 8) disappears — only the [B, 3, C] effective
+        weights and the [B, S, 3] stage centers are rotated.
         """
         from puzzlefusion_plusplus_tpu.ops.grouping import (
             index_points,
@@ -116,18 +121,46 @@ class PointNetSetAbstraction(nn.Module):
         fps_idx, group_idx = idx
         if geom is not None:
             new_xyz, grouped_xyz = geom
+            if rot is not None:
+                new_xyz = jnp.einsum("bsd,bed->bse", new_xyz, rot)
         else:
             new_xyz = index_points(xyz, fps_idx)
             grouped_xyz = index_points(xyz, group_idx) - new_xyz[:, :, None, :]
-        if points is not None:
-            # feature channels go straight into the first Dense -> matmul-safe approx gather
-            grouped = jnp.concatenate(
-                [grouped_xyz, index_points_matmul_safe(points, group_idx)], axis=-1
-            )
+
+        conv0 = nn.Dense(self.mlp[0], name="conv0", dtype=self.dtype)
+        if geom is not None and rot is not None:
+            # rotation-folded first layer. conv0 is linear, so its xyz block K_xyz and bias
+            # are recovered through the module itself (no param-tree surgery):
+            #   conv0(cat(R^T_rows, 0_feat)) - conv0(0) == R^T K_xyz
+            D = 0 if points is None else points.shape[-1]
+            B = grouped_xyz.shape[0]
+            rt_rows = jnp.concatenate(
+                [jnp.swapaxes(rot, 1, 2), jnp.zeros((B, 3, D), rot.dtype)], axis=-1
+            )  # [B, 3, 3+D]
+            bias = conv0(jnp.zeros((1, 3 + D), rot.dtype))  # [1, C] == conv0 bias
+            w_eff = conv0(rt_rows) - bias[None]  # [B, 3, C] == R^T K_xyz
+            h = jnp.einsum("bskd,bdc->bskc", grouped_xyz, w_eff)
+            if points is not None:
+                feat_g = index_points_matmul_safe(points, group_idx)  # [B, S, K, D]
+                zeros_xyz = jnp.zeros(feat_g.shape[:-1] + (3,), feat_g.dtype)
+                h = h + conv0(jnp.concatenate([zeros_xyz, feat_g], axis=-1))
+            else:
+                h = h + bias.reshape((1,) * (h.ndim - 1) + (-1,))
         else:
-            grouped = grouped_xyz
-        h = grouped
-        for i, ch in enumerate(self.mlp):
+            if points is not None:
+                # feature channels go into the first Dense -> matmul-safe approx gather
+                grouped = jnp.concatenate(
+                    [grouped_xyz, index_points_matmul_safe(points, group_idx)], axis=-1
+                )
+            else:
+                grouped = grouped_xyz
+            h = conv0(grouped)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn0",
+            dtype=self.dtype,
+        )(h)
+        h = nn.relu(h)
+        for i, ch in enumerate(self.mlp[1:], start=1):
             h = nn.Dense(ch, name=f"conv{i}", dtype=self.dtype)(h)
             h = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"bn{i}",
@@ -147,13 +180,20 @@ class PN2(nn.Module):
     sa_npoints: Sequence[int] = (256, 128)  # SA1/SA2 centroids (SA3 uses num_point)
     sa_nsamples: Sequence[int] = (32, 64, 64)  # neighborhood sizes per stage
     dtype: object = None  # compute dtype (bf16 for mixed precision); params stay fp32
+    # remat is for TRAINING (halves activation memory); the frozen inference encoder
+    # disables it — a remat_call in a forward-only scan is a fusion barrier for XLA
+    remat: bool = True
 
     def setup(self):
         # remat each SA stage: the grouped [M, S, K, C] activations are the largest tensors
         # in the program (7 GB at the reference's global batch for SA2's conv2 alone) —
         # saving them for backward OOMs HBM at reference batch sizes, recomputing them is
         # nearly free (jax.checkpoint == the brief's remat-for-memory tradeoff)
-        SA = nn.remat(PointNetSetAbstraction, static_argnums=(3,))
+        SA = (
+            nn.remat(PointNetSetAbstraction, static_argnums=(3,))
+            if self.remat
+            else PointNetSetAbstraction
+        )
         self.sa1 = SA(self.sa_npoints[0], 0.2, self.sa_nsamples[0],
                       (64, 64, 128), self.dtype)
         self.sa2 = SA(self.sa_npoints[1], 0.4, self.sa_nsamples[1],
@@ -169,19 +209,22 @@ class PN2(nn.Module):
         """Rotation-invariant sampling/grouping indices for ``encode``'s three stages."""
         return pn2_grouping_indices(xyz, self.num_point, self.sa_npoints, self.sa_nsamples)
 
-    def encode(self, xyz, train: bool = False, cached_idx=None, cached_geom=None):
+    def encode(self, xyz, train: bool = False, cached_idx=None, cached_geom=None,
+               rot=None):
         """xyz: [B, N, 3] -> (z_e [B, L, num_dim], token centers [B, L, 3]).
 
         ``cached_idx``: optional output of ``grouping_indices`` (computed on any rigid
         rotation of ``xyz``) — removes all FPS/ball-query work from the forward.
-        ``cached_geom``: optional per-stage (new_xyz, grouped_rel) in THIS call's frame
-        (pn2_grouping_geometry rotated by the caller) — also removes the xyz gathers, the
-        encoder's dominant cost inside the diffusion loop; ``xyz`` is then ignored."""
+        ``cached_geom``: optional per-stage (new_xyz, grouped_rel) from
+        ``pn2_grouping_geometry`` — also removes the xyz gathers, the encoder's dominant
+        cost inside the diffusion loop; ``xyz`` is then ignored. Either already in this
+        call's frame, or UNROTATED with ``rot`` [B, 3, 3] supplied: the rotation is then
+        folded into each stage's first Dense (see PointNetSetAbstraction)."""
         i1, i2, i3 = cached_idx if cached_idx is not None else (None, None, None)
         g1, g2, g3 = cached_geom if cached_geom is not None else (None, None, None)
-        l1_xyz, l1_points = self.sa1(xyz, None, train, i1, g1)
-        l2_xyz, l2_points = self.sa2(l1_xyz, l1_points, train, i2, g2)
-        l3_xyz, l3_points = self.sa3(l2_xyz, l2_points, train, i3, g3)
+        l1_xyz, l1_points = self.sa1(xyz, None, train, i1, g1, rot)
+        l2_xyz, l2_points = self.sa2(l1_xyz, l1_points, train, i2, g2, rot)
+        l3_xyz, l3_points = self.sa3(l2_xyz, l2_points, train, i3, g3, rot)
         return self.conv6(l3_points), l3_xyz
 
     def decode(self, global_feat):
@@ -256,17 +299,19 @@ class VQVAE(nn.Module):
     sa_npoints: Sequence[int] = (256, 128)
     sa_nsamples: Sequence[int] = (32, 64, 64)
     dtype: object = None  # compute dtype for the PN2 stages; quantization stays fp32
+    remat: bool = True  # disable for frozen inference use (see PN2.remat)
 
     def setup(self):
         self.pn2 = PN2(self.num_point, self.num_dim, self.local_decode_pts,
-                       self.sa_npoints, self.sa_nsamples, self.dtype)
+                       self.sa_npoints, self.sa_nsamples, self.dtype, self.remat)
         self.vector_quantization = VectorQuantizer(
             self.n_embeddings, self.embedding_dim, self.beta
         )
 
-    def encode(self, part_pcs, train: bool = False, cached_idx=None, cached_geom=None):
+    def encode(self, part_pcs, train: bool = False, cached_idx=None, cached_geom=None,
+               rot=None):
         """part_pcs: [B, N, 3] -> dict(z_q [B, L, num_dim], xyz [B, L, 3])."""
-        z_e, xyz = self.pn2.encode(part_pcs, train, cached_idx, cached_geom)
+        z_e, xyz = self.pn2.encode(part_pcs, train, cached_idx, cached_geom, rot)
         z_e = z_e.astype(jnp.float32)  # code selection must not depend on compute dtype
         B, L, _ = z_e.shape
         _, z_q, _, _ = self.vector_quantization(z_e.reshape(B, 4 * L, -1))

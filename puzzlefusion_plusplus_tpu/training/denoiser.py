@@ -186,6 +186,9 @@ def numeric_batch(batch: dict) -> dict:
 
 def load_frozen_encoder(cfg: Config) -> FrozenEncoder:
     ae = make_ae_model(cfg)
+    if getattr(ae, "remat", False):
+        # frozen, forward-only: remat would only act as a fusion barrier inside the scan
+        ae = ae.clone(remat=False)
     if cfg.trainer.precision == "bf16":
         # frozen inference-only encoder: run the PN2 stages in bf16 (params stay fp32,
         # code selection stays fp32 — models/vqvae.py encode)
