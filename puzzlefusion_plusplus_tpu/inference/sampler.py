@@ -84,18 +84,87 @@ def _make_fused_encode(model, params, batch_stats):
     return encode
 
 
-def make_frozen_encoder(model, params, batch_stats, fused: str = "never") -> FrozenEncoder:
-    """``fused``: 'always' runs the single-kernel fused SA path (ops/sa_fused_pallas.py) on
-    TPU when cached grouping indices are supplied. Measured on this chip the composable path
-    with the Pallas one-hot gather is FASTER (25.5 vs 32.7 ms/step at engine batch 8 — the
-    gather matmuls are FLOP-bound, so fusing away HBM traffic doesn't pay), hence the
-    default is 'never'; the fused kernel remains for architectures where HBM dominates."""
-    use_fused = fused == "always" and batch_stats and jax.default_backend() == "tpu"
-    fused_encode = _make_fused_encode(model, params, batch_stats) if use_fused else None
+def _make_fused_cached_encode(model, params, batch_stats):
+    """Fused-cached encode (ops/sa_fused_pallas.py::sa_stage_fused_cached): per step each
+    SA stage is ONE Pallas kernel over the cached grouped geometry — no xyz gathers, the
+    feature gather fused with the rotation+BN-folded conv0, conv intermediates VMEM-only."""
+    from puzzlefusion_plusplus_tpu.ops.sa_fused_pallas import (
+        fold_batchnorm,
+        sa_stage_fused_cached,
+    )
+
+    p = params["pn2"]
+    bs = batch_stats["pn2"]
+
+    def fold(sa):
+        return [
+            fold_batchnorm(
+                p[sa][f"conv{j}"]["kernel"], p[sa][f"conv{j}"]["bias"],
+                p[sa][f"bn{j}"]["scale"], p[sa][f"bn{j}"]["bias"],
+                bs[sa][f"bn{j}"]["mean"], bs[sa][f"bn{j}"]["var"],
+            )
+            for j in range(3)
+        ]
+
+    w = {sa: fold(sa) for sa in ("sa1", "sa2", "sa3")}
+    conv6_k = p["conv6"]["kernel"]
+    conv6_b = p["conv6"]["bias"]
+    codebook = params["vector_quantization"]["embedding"]
+    e_dim = codebook.shape[1]
+
+    def encode(cached_idx, geom_stages, rot):
+        (_, _), (_, gi2), (_, gi3) = cached_idx
+        (_, g1), (n2_, g2), (n3, g3) = geom_stages
+
+        def run(sa, g, feats, gidx):
+            (k1, b1), (w2, b2), (w3, b3) = w[sa]
+            # rotation folded into the xyz block of conv0: W_eff = R^T K_xyz
+            w_eff = jnp.einsum("med,ec->mdc", rot, k1[:3])
+            k1f = k1[3:] if feats is not None else None
+            return sa_stage_fused_cached(g, w_eff, feats, gidx, k1f, b1, w2, b2, w3, b3)
+
+        f1 = run("sa1", g1, None, None)
+        f2 = run("sa2", g2, f1, gi2)
+        f3 = run("sa3", g3, f2, gi3)
+        z_e = f3 @ conv6_k + conv6_b  # [M, L, num_dim]
+        M = z_e.shape[0]
+        z = z_e.reshape(M, -1, e_dim)
+        d = (
+            jnp.sum(z**2, -1, keepdims=True)
+            + jnp.sum(codebook**2, -1)
+            - 2.0 * jnp.einsum("mtc,ec->mte", z, codebook)
+        )
+        z_q = jnp.take(codebook, jnp.argmin(d, -1), axis=0)
+        xyz = jnp.einsum("msd,med->mse", n3, rot)  # rotated token centers
+        return {"z_q": z_q.reshape(M, model.num_point, -1), "xyz": xyz}
+
+    return encode
+
+
+def make_frozen_encoder(model, params, batch_stats, fused: str = "cached") -> FrozenEncoder:
+    """``fused`` selects the TPU fast path for the frozen-eval encode:
+      * 'cached' (default): when cached geometry + rotation matrices are supplied (the
+        diffusion sampler), run each SA stage as ONE Pallas kernel
+        (sa_stage_fused_cached) — no xyz gathers, VMEM-resident conv chain.
+      * 'always': the round-1 fused kernel over raw clouds + cached indices
+        (sa_stage_fused). Measured SLOWER than the composable path (32.7 vs 25.5 ms/step)
+        — its exact byte-split gathers pay 8 one-hot matmuls per tile; kept for reference.
+      * 'never': always the composable flax path."""
+    on_tpu = bool(batch_stats) and jax.default_backend() == "tpu"
+    fused_encode = (
+        _make_fused_encode(model, params, batch_stats)
+        if fused == "always" and on_tpu else None
+    )
+    fused_cached = (
+        _make_fused_cached_encode(model, params, batch_stats)
+        if fused == "cached" and on_tpu else None
+    )
 
     def apply(flat_pcs, cached_idx=None, cached_geom=None, rot=None):
         if fused_encode is not None and cached_idx is not None and cached_geom is None:
             return fused_encode(flat_pcs, cached_idx)
+        if fused_cached is not None and cached_geom is not None and rot is not None:
+            return fused_cached(cached_idx, cached_geom, rot)
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             flat_pcs,

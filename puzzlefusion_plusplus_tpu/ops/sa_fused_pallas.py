@@ -165,3 +165,128 @@ def sa_stage_fused(
         out_shape=jax.ShapeDtypeStruct((M, Sp, w3p.shape[1]), jnp.float32),
     )(gidx, fidx, pts_p, w1p, b1p, w2p, b2p, w3p, b3p)
     return out[:, :S, :C3]
+
+
+# ---------------------------------------------------------------------------
+# Round-2 variant: fused SA stage over CACHED grouped geometry (no xyz gathers).
+#
+# The diffusion sampler caches the grouped relative coordinates once per engine
+# iteration (inference/sampler.py FeatureCache) and folds the per-step rotation into
+# the first Dense (models/vqvae.py): conv0(g R^T) == g (R^T K_xyz). What remains per
+# step and per stage is
+#     h1 = g_rel @ W_eff[m] + gather(feats)[.] @ K_feat + b1 ; relu
+#     h2 = relu(h1 @ W2 + b2) ; h3 = relu(h2 @ W3 + b3) ; max over K
+# This kernel runs that chain VMEM-resident per (cloud, center-tile):
+#   * no xyz gather at all (g_rel is an input, [rows, 3] tiles);
+#   * the feature gather is fused with conv0: gather(f) @ K_feat == onehot @ (f @ K_feat),
+#     and `proj = f @ K_feat` is computed ONCE per cloud outside the kernel — one
+#     one-hot matmul replaces gather-then-dense (2/3 of the gather+conv1 FLOPs);
+#   * conv2/conv3 intermediates never touch HBM (the composable path round-trips
+#     [M, S, K, C] activations between every layer).
+# BatchNorm is eval-mode folded (fold_batchnorm); numerics match the composable eval
+# path to MXU-bf16 tolerance (the one-hot matmul rounds `proj` exactly like the Dense
+# matmul the composable path feeds its gathered features into).
+# ---------------------------------------------------------------------------
+
+
+def _sa_cached_kernel(
+    gidx_ref,  # [1, 8, Sp*K] i32 (row 0 = group indices, per-tile 128-aligned slices)
+    g_ref,  # [1, rows, 3] f32 grouped relative xyz for THIS tile (unrotated)
+    weff_ref,  # [1, 3, C1] f32 per-cloud rotation-folded xyz weights
+    proj_ref,  # [1, N2, C1] f32 per-cloud pre-projected features (or [1, 8, C1] dummy)
+    b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    out_ref,  # [1, ST, C3]
+    *, n2: int, k: int, st: int, has_feats: bool,
+):
+    s_tile = pl.program_id(1)
+    rows = st * k
+    g = g_ref[0, :, :]  # [rows, 3]
+    h = jax.lax.dot_general(
+        g, weff_ref[0, :, :], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [rows, C1]
+    if has_feats:
+        gidx = gidx_ref[0, 0, pl.ds(s_tile * rows, rows)]  # [rows]
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, n2), 1)
+        onehot = (col == gidx[:, None]).astype(jnp.float32)
+        h = h + jax.lax.dot_general(
+            onehot, proj_ref[0, :, :], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    h = jnp.maximum(h + b1_ref[0, :], 0.0)
+    h = jnp.maximum(
+        jax.lax.dot_general(h, w2_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b2_ref[0, :], 0.0)
+    h = jnp.maximum(
+        jax.lax.dot_general(h, w3_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b3_ref[0, :], 0.0)
+    out_ref[0, :, :] = h.reshape(st, k, -1).max(axis=1)
+
+
+def sa_stage_fused_cached(
+    g_rel: jnp.ndarray,  # [M, S, K, 3] cached grouped relative xyz (unrotated)
+    w_eff: jnp.ndarray,  # [M, 3, C1] rotation+BN-folded conv0 xyz weights
+    feats: jnp.ndarray | None,  # [M, N2, D] previous-stage features (None for stage 1)
+    group_idx: jnp.ndarray | None,  # [M, S, K] i32 (None for stage 1)
+    k1_feat: jnp.ndarray | None,  # [D, C1] BN-folded conv0 feature weights
+    b1: jnp.ndarray,  # [C1] folded bias
+    w2: jnp.ndarray, b2: jnp.ndarray,  # folded conv1
+    w3: jnp.ndarray, b3: jnp.ndarray,  # folded conv2
+) -> jnp.ndarray:
+    """-> new_feats [M, S, C3] (max over K of the 3-layer folded MLP)."""
+    M, S, K, _ = g_rel.shape
+    C1 = w_eff.shape[2]
+    C3 = w3.shape[1]
+    has_feats = feats is not None
+    _ST = _centers_per_tile(K)
+    s_pad = (-S) % _ST
+    Sp = S + s_pad
+    n_tiles = Sp // _ST
+    rows = _ST * K
+
+    g_flat = jnp.pad(
+        g_rel.reshape(M, S * K, 3).astype(jnp.float32),
+        ((0, 0), (0, s_pad * K), (0, 0)),
+    )
+    if has_feats:
+        N2, D = feats.shape[1], feats.shape[2]
+        proj = jnp.einsum("mnd,dc->mnc", feats.astype(jnp.float32),
+                          k1_feat.astype(jnp.float32))  # [M, N2, C1]
+        n2p = (-N2) % 128
+        proj = jnp.pad(proj, ((0, 0), (0, n2p), (0, 0)))
+        N2p = N2 + n2p
+        gidx = jnp.pad(group_idx.reshape(M, S * K), ((0, 0), (0, s_pad * K)))
+        gidx = jnp.pad(gidx[:, None, :], ((0, 0), (0, 7), (0, 0)))  # 8-sublane carrier
+    else:
+        N2p = 8
+        proj = jnp.zeros((M, 8, C1), jnp.float32)
+        gidx = jnp.zeros((M, 8, max(Sp * K, 128)), jnp.int32)
+
+    b1p = jnp.asarray(b1, jnp.float32)[None, :]
+    w2p = jnp.asarray(w2, jnp.float32)
+    b2p = jnp.asarray(b2, jnp.float32)[None, :]
+    w3p = jnp.asarray(w3, jnp.float32)
+    b3p = jnp.asarray(b3, jnp.float32)[None, :]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _sa_cached_kernel, n2=N2p, k=K, st=_ST, has_feats=has_feats
+        ),
+        grid=(M, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 8, gidx.shape[2]), lambda m, s: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 3), lambda m, s: (m, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, C1), lambda m, s: (m, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N2p, C1), lambda m, s: (m, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1p.shape, lambda m, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2p.shape, lambda m, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2p.shape, lambda m, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3p.shape, lambda m, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b3p.shape, lambda m, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _ST, C3), lambda m, s: (m, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, Sp, C3), jnp.float32),
+    )(gidx, g_flat, w_eff, proj, b1p, w2p, b2p, w3p, b3p)
+    return out[:, :S, :]

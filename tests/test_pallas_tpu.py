@@ -103,3 +103,53 @@ def test_sa_stage_fused_parity():
     ]
     out = sa_stage_fused(jnp.concatenate([xyz, feats], -1), idx[0], idx[1], weights)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+def test_sa_stage_fused_cached_parity():
+    """Fused-cached SA kernel (rotation-folded conv0, fused feature gather) == composable
+    eval stage applied to rotated geometry, within MXU float tolerance."""
+    import jax
+
+    from puzzlefusion_plusplus_tpu.models.vqvae import (
+        PointNetSetAbstraction,
+        sa_stage_indices,
+    )
+    from puzzlefusion_plusplus_tpu.ops.grouping import index_points
+    from puzzlefusion_plusplus_tpu.ops.sa_fused_pallas import (
+        fold_batchnorm,
+        sa_stage_fused_cached,
+    )
+    from puzzlefusion_plusplus_tpu.utils.transforms import quat_normalize, quat_to_matrix, qrot
+
+    M, N, D, S, K = 4, 256, 16, 32, 32
+    xyz = jnp.array(RNG.standard_normal((M, N, 3)).astype(np.float32))
+    feats = jnp.array(RNG.standard_normal((M, N, D)).astype(np.float32))
+    quat = quat_normalize(jnp.array(RNG.standard_normal((M, 4)).astype(np.float32)))
+    rot = quat_to_matrix(quat)
+
+    stage = PointNetSetAbstraction(npoint=S, radius=0.4, nsample=K, mlp=(32, 32, 64))
+    variables = stage.init(jax.random.key(0), xyz, feats, train=False)
+    idx = sa_stage_indices(xyz, S, 0.4, K)
+
+    # reference: composable stage on the ROTATED cloud geometry (features unrotated, as in
+    # the sampler: feature channels are rotation-independent activations)
+    new_xyz = index_points(xyz, idx[0])
+    g_rel = index_points(xyz, idx[1]) - new_xyz[:, :, None, :]
+    g_rot = qrot(quat[:, None, None, :], g_rel)
+    _, ref = stage.apply(
+        variables, xyz, feats, train=False, idx=idx,
+        geom=(qrot(quat[:, None, :], new_xyz), g_rot),
+    )
+
+    p, bs = variables["params"], variables["batch_stats"]
+    (k1, b1), (w2, b2), (w3, b3) = [
+        fold_batchnorm(
+            p[f"conv{j}"]["kernel"], p[f"conv{j}"]["bias"],
+            p[f"bn{j}"]["scale"], p[f"bn{j}"]["bias"],
+            bs[f"bn{j}"]["mean"], bs[f"bn{j}"]["var"],
+        )
+        for j in range(3)
+    ]
+    w_eff = jnp.einsum("med,ec->mdc", rot, k1[:3])
+    out = sa_stage_fused_cached(g_rel, w_eff, feats, idx[1], k1[3:], b1, w2, b2, w3, b3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2, rtol=3e-2)
