@@ -20,11 +20,7 @@ from puzzlefusion_plusplus_tpu.utils.masking import (
     compaction_indices,
     scatter_parts,
 )
-from puzzlefusion_plusplus_tpu.utils.transforms import (
-    quat_normalize,
-    quat_to_matrix,
-    qrot,
-)
+from puzzlefusion_plusplus_tpu.utils.transforms import quat_normalize, quat_to_matrix
 
 
 class FrozenEncoder(NamedTuple):
@@ -227,22 +223,29 @@ def extract_features(
     B, P, N, _ = part_pcs.shape
     quat = quat_normalize(noisy_trans_and_rots[..., 3:])
     if cache is None:
+        # single-shot encode (training loss: one encode per step). Keep the composable
+        # rotate-then-encode path here: routing through build_feature_cache + the fused
+        # kernels measured OOM at the reference train batch (the cache's grouped-geometry
+        # tensors + padded copies add ~0.5 G on top of the denoiser backward state).
+        from puzzlefusion_plusplus_tpu.utils.transforms import qrot
+
         order, src, slot_valid = compaction_indices(part_valids)
         rotated = qrot(quat[:, :, None, :], part_pcs)
         flat = compact_parts(rotated, src).reshape(B * P, N, 3)
         out = encoder.apply(flat, None)
-    else:
-        order, src, slot_valid, idx_stages, geom_stages = cache
-        q_flat = compact_parts(quat, src).reshape(B * P, 4)  # compaction order of the cache
-        # rotation folded into each stage's first Dense: only the [M, 3, 3] matrices are
-        # built per step; the cached grouped tensors are consumed UNROTATED (the per-step
-        # qrot of [M, S, K, 3] tensors measured 1.7 ms/step at engine batch 8 — the
-        # trailing-3 layout tiles to 128 lanes, a 42x memory expansion)
-        rot = quat_to_matrix(q_flat)
-        # xyz is ignored by the encoder when cached geometry is supplied; pass the cheap
-        # unrotated compaction only for shape plumbing — avoid gathering the full cloud
-        flat = compact_parts(part_pcs, src).reshape(B * P, N, 3)
-        out = encoder.apply(flat, idx_stages, geom_stages, rot)
+        z_q = out["z_q"].reshape(B, P, encoder.num_point, encoder.num_dim)
+        xyz = out["xyz"].reshape(B, P, encoder.num_point, 3)
+        return scatter_parts(z_q, order, slot_valid), scatter_parts(xyz, order, slot_valid)
+    order, src, slot_valid, idx_stages, geom_stages = cache
+    q_flat = compact_parts(quat, src).reshape(B * P, 4)  # compaction order of the cache
+    # rotation folded into each stage's first Dense: only the [M, 3, 3] matrices are
+    # built per step; the cached grouped tensors are consumed UNROTATED (a per-step qrot
+    # of the [M, S, K, 3] tensors would tile the trailing-3 dim to 128 lanes)
+    rot = quat_to_matrix(q_flat)
+    # xyz is ignored by the encoder when cached geometry is supplied; pass the cheap
+    # unrotated compaction only for shape plumbing — avoid gathering the full cloud
+    flat = compact_parts(part_pcs, src).reshape(B * P, N, 3)
+    out = encoder.apply(flat, idx_stages, geom_stages, rot)
     z_q = out["z_q"].reshape(B, P, encoder.num_point, encoder.num_dim)
     xyz = out["xyz"].reshape(B, P, encoder.num_point, 3)
     latent = scatter_parts(z_q, order, slot_valid)
