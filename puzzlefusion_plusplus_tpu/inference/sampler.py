@@ -225,8 +225,10 @@ def extract_features(
     if cache is None:
         # single-shot encode (training loss: one encode per step). Keep the composable
         # rotate-then-encode path here: routing through build_feature_cache + the fused
-        # kernels measured OOM at the reference train batch (the cache's grouped-geometry
-        # tensors + padded copies add ~0.5 G on top of the denoiser backward state).
+        # kernels measured OOM at the reference train batch (16.22 G vs the chip's
+        # 15.75 G HBM — the cache's grouped-geometry tensors + padded copies add ~0.5 G
+        # on top of the denoiser backward state), and its train-step compile ran >15 min
+        # at M > 1000 parts where the composable step compiles in minutes.
         from puzzlefusion_plusplus_tpu.utils.transforms import qrot
 
         order, src, slot_valid = compaction_indices(part_valids)
