@@ -240,6 +240,7 @@ def sa_stage_fused_cached(
     b1: jnp.ndarray,  # [C1] folded bias
     w2: jnp.ndarray, b2: jnp.ndarray,  # folded conv1
     w3: jnp.ndarray, b3: jnp.ndarray,  # folded conv2
+    interpret: bool = False,  # Pallas interpret mode (CPU tests; kernel has no TPU intrinsics)
 ) -> jnp.ndarray:
     """-> new_feats [M, S, C3] (max over K of the 3-layer folded MLP)."""
     M, S, K, _ = g_rel.shape
@@ -296,5 +297,6 @@ def sa_stage_fused_cached(
         out_specs=pl.BlockSpec((1, _ST, C3), lambda m, s: (m, s, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, Sp, C3), jnp.float32),
+        interpret=interpret,
     )(gidx, g_flat, w_eff, proj, b1p, w2p, b2p, w3p, b3p)
     return out[:, :S, :]

@@ -188,3 +188,61 @@ class TestGrouping:
         # grouped coords are recentered: center point itself appears as ~0 offset
         new_xyz2, new_pts2 = ops.sample_and_group(32, 100.0, 16, xyz, None, fps_idx)
         assert np.abs(np.asarray(new_pts2)).max() < 200.0
+
+
+class TestFusedCachedSAInterpret:
+    """CPU (Pallas interpret-mode) parity for the hot inference kernel
+    (ops/sa_fused_pallas.py::sa_stage_fused_cached) against a plain-jnp reference —
+    the on-hardware parity lives in tests/test_pallas_tpu.py; this covers the kernel's
+    tiling/padding math (s_pad centers, per-tile 128-aligned index slices) on every
+    CI run."""
+
+    @staticmethod
+    def _reference(g_rel, w_eff, feats, gidx, k1f, b1, w2, b2, w3, b3):
+        h = jnp.einsum("mskd,mdc->mskc", g_rel, w_eff)
+        if feats is not None:
+            proj = jnp.einsum("mnd,dc->mnc", feats, k1f)  # [M, N2, C1]
+            M = proj.shape[0]
+            gathered = jax.vmap(lambda p, i: p[i])(proj, gidx)  # [M, S, K, C1]
+            h = h + gathered
+        h = jax.nn.relu(h + b1)
+        h = jax.nn.relu(jnp.einsum("mskc,ce->mske", h, w2) + b2)
+        h = jax.nn.relu(jnp.einsum("mskc,ce->mske", h, w3) + b3)
+        return h.max(axis=2)
+
+    def test_stage1_no_feats(self):
+        from puzzlefusion_plusplus_tpu.ops.sa_fused_pallas import sa_stage_fused_cached
+
+        M, S, K, C1, C2, C3 = 3, 16, 32, 8, 8, 16  # S < centers-per-tile -> s_pad path
+        g = jnp.asarray(RNG.standard_normal((M, S, K, 3)).astype(np.float32))
+        w_eff = jnp.asarray(RNG.standard_normal((M, 3, C1)).astype(np.float32))
+        b1 = jnp.asarray(RNG.standard_normal(C1).astype(np.float32))
+        w2 = jnp.asarray(RNG.standard_normal((C1, C2)).astype(np.float32))
+        b2 = jnp.asarray(RNG.standard_normal(C2).astype(np.float32))
+        w3 = jnp.asarray(RNG.standard_normal((C2, C3)).astype(np.float32))
+        b3 = jnp.asarray(RNG.standard_normal(C3).astype(np.float32))
+        out = sa_stage_fused_cached(g, w_eff, None, None, None, b1, w2, b2, w3, b3,
+                                    interpret=True)
+        ref = self._reference(g, w_eff, None, None, None, b1, w2, b2, w3, b3)
+        assert out.shape == (M, S, C3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_stage2_with_feature_gather(self):
+        from puzzlefusion_plusplus_tpu.ops.sa_fused_pallas import sa_stage_fused_cached
+
+        M, S, K, N2, D, C1, C2, C3 = 2, 40, 32, 24, 8, 8, 8, 16
+        g = jnp.asarray(RNG.standard_normal((M, S, K, 3)).astype(np.float32))
+        w_eff = jnp.asarray(RNG.standard_normal((M, 3, C1)).astype(np.float32))
+        feats = jnp.asarray(RNG.standard_normal((M, N2, D)).astype(np.float32))
+        gidx = jnp.asarray(RNG.integers(0, N2, size=(M, S, K)).astype(np.int32))
+        k1f = jnp.asarray(RNG.standard_normal((D, C1)).astype(np.float32))
+        b1 = jnp.asarray(RNG.standard_normal(C1).astype(np.float32))
+        w2 = jnp.asarray(RNG.standard_normal((C1, C2)).astype(np.float32))
+        b2 = jnp.asarray(RNG.standard_normal(C2).astype(np.float32))
+        w3 = jnp.asarray(RNG.standard_normal((C2, C3)).astype(np.float32))
+        b3 = jnp.asarray(RNG.standard_normal(C3).astype(np.float32))
+        out = sa_stage_fused_cached(g, w_eff, feats, gidx, k1f, b1, w2, b2, w3, b3,
+                                    interpret=True)
+        ref = self._reference(g, w_eff, feats, gidx, k1f, b1, w2, b2, w3, b3)
+        assert out.shape == (M, S, C3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
