@@ -92,6 +92,14 @@ def main() -> None:
     )
     loader = Loader(ds, batch_size, shuffle=False, drop_last=False, seed=0)
     batch = next(iter(loader))
+    # part-count bucketing (data/bucketing.py): slice the batch to the smallest part pad
+    # that fits it (padding-invariant engine, property-tested) — production serving would
+    # bucket exactly like run_inference does. PFPP_BENCH_BUCKET=0 restores the global pad.
+    if int(os.environ.get("PFPP_BENCH_BUCKET", "1")):
+        from puzzlefusion_plusplus_tpu.data.bucketing import part_bucket, slice_batch_parts
+
+        P_b = part_bucket(int(np.max(batch["num_parts"])), cap=cfg.data.max_num_part)
+        batch = slice_batch_parts(batch, P_b)
     sample = {k: jnp.asarray(batch[k][:batch_size]) for k in SAMPLE_KEYS}
     n = sample["part_pcs"].shape[0]
 
@@ -127,6 +135,7 @@ def main() -> None:
         "extra": {
             "backend": jax.default_backend(),
             "batch": n,
+            "part_pad": int(sample["part_pcs"].shape[1]),
             "precision": cfg.trainer.precision,
             "compile_s": round(compile_s, 1),
             "p50_denoise_verify_iter_latency_s": round(iter_latency_p50, 4),

@@ -160,6 +160,10 @@ class DenoiserDataset:
     def __len__(self):
         return len(self.data_list)
 
+    def num_parts_list(self) -> np.ndarray:
+        """Per-sample part counts, for part-count-sorted serving order (data/bucketing.py)."""
+        return np.asarray([int(s["num_parts"]) for s in self.data_list], np.int32)
+
     def _curriculum_ref_parts(self, d: dict, rng: np.random.Generator) -> dict:
         """Multi-ref-part sampling + noise perturbation (dataset.py:228-271)."""
         num_parts = d["num_parts"]

@@ -27,6 +27,7 @@ class Loader:
         process_index: int = 0,
         process_count: int = 1,
         collate: Callable[[list[dict]], dict] | None = None,
+        order: Any | None = None,  # custom serving order (e.g. part-count-sorted bucketing)
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -37,6 +38,7 @@ class Loader:
         self.process_index = process_index
         self.process_count = process_count
         self.collate = collate or collate_stack
+        self.order = None if order is None else np.asarray(order, np.int64)
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.process_count
@@ -46,10 +48,10 @@ class Loader:
 
     def __iter__(self) -> Iterator[dict]:
         n = len(self.dataset)
-        order = np.arange(n)
+        order = np.arange(n) if self.order is None else self.order
         rng = np.random.default_rng((self.seed, self.epoch))
         if self.shuffle:
-            order = rng.permutation(n)
+            order = order[rng.permutation(len(order))]
         order = order[self.process_index :: self.process_count]
         self.epoch += 1
         for start in range(0, len(order), self.batch_size):

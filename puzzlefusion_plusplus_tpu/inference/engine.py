@@ -88,6 +88,19 @@ def _triu_indices(P: int) -> np.ndarray:
     return np.asarray(list(itertools.combinations(range(P), 2)), np.int32)  # [P(P-1)/2, 2]
 
 
+def _per_part_normal(key: jax.Array, P: int, d: int = 7) -> jnp.ndarray:
+    """[P, d] standard normals drawn from per-part fold_in streams.
+
+    A flat ``normal(key, (P, d))`` draw makes every value depend on the part PAD P, which
+    would break part-count bucketing (data/bucketing.py): the same shape served at P=12 and
+    P=20 would see different noise. Folding the part index into the key makes part i's draw
+    independent of how many padding rows follow it, so bucketed and full-pad runs are
+    trajectory-identical (tests/test_bucketing.py).
+    """
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(P))
+    return jax.vmap(lambda k: jax.random.normal(k, (d,)))(keys)
+
+
 def compose_poses(noisy: jnp.ndarray, pivot: jnp.ndarray, init_pose: jnp.ndarray):
     """get_param / extract_final_pred_trans_rots (node_merge_utils.py:246-306): node i's final
     pose = affine(pose of pivot[i]) @ init_pose[i]. -> (trans [P,3], quat [P,4])."""
@@ -213,7 +226,7 @@ def make_denoise_phase(
                 state.ref_part[None],
             )[0]
             rng, k = jax.random.split(rng)
-            z = jax.random.normal(k, noisy.shape, noisy.dtype)
+            z = _per_part_normal(k, noisy.shape[0]).astype(noisy.dtype)
             new = ddpm_step(ddpm, pred, t, noisy, z, cfg.num_inference_steps)
             new = jnp.where(state.ref_part[:, None], state.reference_vals, new)
             new = jnp.where(state.done, noisy, new)  # freeze once done
@@ -472,7 +485,7 @@ def make_init_state(sample: dict, rng: jax.Array) -> AgglState:
     gt = jnp.concatenate([sample["part_trans"], sample["part_rots"]], axis=-1)
     ref0 = sample["ref_part"].astype(bool)
     rng, k = jax.random.split(rng)
-    noisy0 = jax.random.normal(k, gt.shape, gt.dtype)
+    noisy0 = _per_part_normal(k, P).astype(gt.dtype)
     noisy0 = jnp.where(ref0[:, None], gt, noisy0)
 
     return AgglState(

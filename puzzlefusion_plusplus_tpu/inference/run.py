@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from puzzlefusion_plusplus_tpu.data import DenoiserDataset, Loader
+from puzzlefusion_plusplus_tpu.data.bucketing import part_bucket, slice_batch_parts
 from puzzlefusion_plusplus_tpu.inference.engine import AgglConfig, auto_agglomerate_batch
 from puzzlefusion_plusplus_tpu.models.scheduler import DDPMParams
 from puzzlefusion_plusplus_tpu.training.denoiser import (
@@ -172,8 +173,15 @@ def run_inference(cfg: Config, max_batches: int | None = None) -> dict:
         cfg.data.data_val_dir, mode="test", matching_data_path=cfg.data.matching_data_path,
         max_num_part=cfg.data.max_num_part, overfit=cfg.data.overfit,
     )
+    # part-count bucketing (data/bucketing.py): serve part-count-sorted batches, each sliced
+    # to the smallest bucket pad that fits it — one XLA specialization per distinct pad,
+    # large savings on every under-filled batch, bitwise-safe (padding-invariant engine)
+    bucket_mult = cfg.inference.part_bucket_multiple
+    order = (
+        np.argsort(ds.num_parts_list(), kind="stable") if bucket_mult and len(ds) else None
+    )
     loader = Loader(ds, cfg.inference.batch_size, shuffle=False, drop_last=False,
-                    seed=cfg.trainer.seed)
+                    seed=cfg.trainer.seed, order=order)
     out_dir = os.path.join(
         cfg.trainer.output_dir, cfg.trainer.experiment_name, "inference",
         cfg.inference.inference_dir,
@@ -183,6 +191,11 @@ def run_inference(cfg: Config, max_batches: int | None = None) -> dict:
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
+        if bucket_mult:
+            P_b = part_bucket(
+                int(np.max(batch["num_parts"])), bucket_mult, cap=cfg.data.max_num_part
+            )
+            batch = slice_batch_parts(batch, P_b)
         sample = {k: np.asarray(batch[k]) for k in SAMPLE_KEYS}
         n_real = sample["part_pcs"].shape[0]
         if n_dev > 1:

@@ -122,6 +122,10 @@ class InferenceConfig:
     inference_dir: str = "results"
     save_trajectories: bool = True
     batch_size: int = 1  # shapes per device-step; vmapped/sharded on TPU
+    # part-count bucketing (data/bucketing.py): serve each batch at the smallest multiple-of-
+    # this part pad that fits its shapes (one extra XLA specialization per distinct pad).
+    # 0 disables (always the global max_num_part pad).
+    part_bucket_multiple: int = 4
 
 
 @dataclass
