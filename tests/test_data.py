@@ -134,3 +134,19 @@ def test_loader_determinism_and_shapes(data_root):
     b1, b2 = next(iter(l1)), next(iter(l2))
     np.testing.assert_array_equal(b1["part_pcs"], b2["part_pcs"])
     assert b1["part_pcs"].shape == (2, 20, 1000, 3)
+
+
+def test_loader_custom_order(data_root):
+    """Custom serving order (part-count-sorted bucketing, run_inference)."""
+    ds = VQVAEDataset(data_root + "/pc_data/train")
+    n = len(ds)
+    order = np.arange(n)[::-1].copy()
+    l_fwd = Loader(ds, batch_size=1, shuffle=False, drop_last=False)
+    l_rev = Loader(ds, batch_size=1, shuffle=False, drop_last=False, order=order)
+    fwd = [b["data_id"][0] for b in l_fwd]
+    rev = [b["data_id"][0] for b in l_rev]
+    assert rev == fwd[::-1]
+    # shuffle permutes WITHIN the custom order's index set (dropping index 0 here)
+    l_shuf = Loader(ds, batch_size=1, shuffle=True, drop_last=False, order=order[: n - 1])
+    seen = sorted(b["data_id"][0] for b in l_shuf)
+    assert seen == sorted(fwd[1:])
