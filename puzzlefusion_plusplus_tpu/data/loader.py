@@ -28,6 +28,7 @@ class Loader:
         process_count: int = 1,
         collate: Callable[[list[dict]], dict] | None = None,
         order: Any | None = None,  # custom serving order (e.g. part-count-sorted bucketing)
+        bucket_key: Any | None = None,  # per-sample group id; batches never cross groups
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -39,8 +40,16 @@ class Loader:
         self.process_count = process_count
         self.collate = collate or collate_stack
         self.order = None if order is None else np.asarray(order, np.int64)
+        self.bucket_key = None if bucket_key is None else np.asarray(bucket_key, np.int64)
 
     def __len__(self) -> int:
+        if self.bucket_key is not None:
+            # deterministic estimate (shuffling re-shards buckets across hosts per epoch)
+            shard = np.arange(len(self.dataset))[self.process_index :: self.process_count]
+            sizes = np.bincount(self.bucket_key[shard])
+            if self.drop_last:
+                return int(sum(s // self.batch_size for s in sizes))
+            return int(sum(-(-s // self.batch_size) for s in sizes if s))
         n = len(self.dataset) // self.process_count
         if self.drop_last:
             return n // self.batch_size
@@ -54,12 +63,34 @@ class Loader:
             order = order[rng.permutation(len(order))]
         order = order[self.process_index :: self.process_count]
         self.epoch += 1
-        for start in range(0, len(order), self.batch_size):
-            idx = order[start : start + self.batch_size]
-            if self.drop_last and len(idx) < self.batch_size:
-                return
+        for idx in self._batches(order, rng):
             items = [self.dataset.get(int(i), rng) for i in idx]
             yield self.collate(items)
+
+    def _batches(self, order: np.ndarray, rng) -> Iterator[np.ndarray]:
+        """Split a (possibly shuffled) index order into batches. With ``bucket_key``,
+        batches are formed WITHIN each bucket (so every batch can be served at its
+        bucket's shape pad, data/bucketing.py) and the resulting batch list is shuffled —
+        the standard bucketed-batching scheme: shapes stay homogeneous per batch while
+        batch ORDER stays random across buckets."""
+        if self.bucket_key is None:
+            for start in range(0, len(order), self.batch_size):
+                idx = order[start : start + self.batch_size]
+                if self.drop_last and len(idx) < self.batch_size:
+                    return
+                yield idx
+            return
+        batches = []
+        for key in np.unique(self.bucket_key[order]):
+            members = order[self.bucket_key[order] == key]  # keeps the shuffled order
+            for start in range(0, len(members), self.batch_size):
+                idx = members[start : start + self.batch_size]
+                if self.drop_last and len(idx) < self.batch_size:
+                    break
+                batches.append(idx)
+        if self.shuffle:
+            batches = [batches[i] for i in rng.permutation(len(batches))]
+        yield from batches
 
 
 def collate_stack(items: list[dict[str, Any]]) -> dict[str, np.ndarray]:

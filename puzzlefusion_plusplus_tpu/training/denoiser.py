@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from puzzlefusion_plusplus_tpu.data import DenoiserDataset, Loader
+from puzzlefusion_plusplus_tpu.data.bucketing import part_bucket, slice_batch_parts
 from puzzlefusion_plusplus_tpu.inference.sampler import (
     FrozenEncoder,
     build_feature_cache,
@@ -217,9 +218,28 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
         cfg.data.data_val_dir, mode="val", max_num_part=cfg.data.max_num_part,
         multiple_ref_parts=cfg.denoiser.multiple_ref_parts, overfit=cfg.data.overfit,
     )
-    train_loader = Loader(train_ds, cfg.data.batch_size, seed=cfg.trainer.seed)
+    # part-count bucketed batching (data/bucketing.py): batches never mix buckets, each is
+    # sliced to its bucket pad below — big step-time savings when most shapes have far
+    # fewer than max_num_part parts. Loss masking makes training pad-invariant.
+    bucket_mult = cfg.data.part_bucket_multiple
+
+    def _bucket_key(ds):
+        if not bucket_mult:
+            return None
+        return [part_bucket(int(c), bucket_mult, cap=cfg.data.max_num_part)
+                for c in ds.num_parts_list()]
+
+    def _slice(batch):
+        if not bucket_mult:
+            return batch
+        P_b = part_bucket(int(np.max(batch["num_parts"])), bucket_mult,
+                          cap=cfg.data.max_num_part)
+        return slice_batch_parts(batch, P_b)
+
+    train_loader = Loader(train_ds, cfg.data.batch_size, seed=cfg.trainer.seed,
+                          bucket_key=_bucket_key(train_ds))
     val_loader = Loader(val_ds, cfg.data.val_batch_size, shuffle=False, drop_last=False,
-                        seed=cfg.trainer.seed)
+                        seed=cfg.trainer.seed, bucket_key=_bucket_key(val_ds))
 
     tx = adamw_reference(cfg.denoiser.lr, cfg.denoiser.b1, cfg.denoiser.b2,
                          cfg.denoiser.weight_decay)
@@ -253,7 +273,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
         for batch in train_loader:
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(
-                state, shard_batch(numeric_batch(batch), mesh), step_rng,
+                state, shard_batch(numeric_batch(_slice(batch)), mesh), step_rng,
                 model, encoder, ddpm, tx, timestep_set,
             )
             if step % cfg.trainer.log_every == 0:
@@ -265,7 +285,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
         if (epoch + 1) % cfg.denoiser.val_every == 0 or epoch + 1 == cfg.denoiser.epochs:
             accs = []
             for batch in val_loader:
-                padded, _ = pad_batch_to_devices(numeric_batch(batch), n_dev)
+                padded, _ = pad_batch_to_devices(numeric_batch(_slice(batch)), n_dev)
                 sharded = shard_batch(padded, mesh)
                 rng, k = jax.random.split(rng)
                 final, _ = sample_fn(state.params, sharded, k)

@@ -41,6 +41,10 @@ class DataConfig:
     # we pad so the whole inference engine stays jit-compiled — SURVEY.md §7.1)
     max_area_points: int = 5000
     max_correspondences: int = 256
+    # TRAINING-side part-count bucketing (data/bucketing.py): batches are formed within
+    # part-count buckets and each served at its bucket's pad (one XLA specialization per
+    # pad). 0 disables (reference-parity default: every batch at the max_num_part pad).
+    part_bucket_multiple: int = 0
 
 
 @dataclass
