@@ -98,6 +98,10 @@ class VQVAEDataset:
     def __len__(self):
         return len(self.data_list)
 
+    def num_parts_list(self) -> np.ndarray:
+        """Per-sample part counts, for part-count-sorted serving order (data/bucketing.py)."""
+        return np.asarray([int(s["num_parts"]) for s in self.data_list], np.int32)
+
     def get(self, idx: int, rng: np.random.Generator) -> dict:
         s = self.data_list[idx]
         num_parts = int(s["num_parts"])

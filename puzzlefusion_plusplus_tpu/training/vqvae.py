@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from puzzlefusion_plusplus_tpu.data import Loader, VQVAEDataset
+from puzzlefusion_plusplus_tpu.data.bucketing import part_bucket, slice_batch_parts
 from puzzlefusion_plusplus_tpu.models.vqvae import VQVAE
 from puzzlefusion_plusplus_tpu.ops.chamfer import nn_distance
 from puzzlefusion_plusplus_tpu.parallel import (
@@ -121,9 +122,28 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
                             cfg.data.min_num_part, cfg.data.overfit)
     val_ds = VQVAEDataset(cfg.data.data_val_dir, cfg.data.max_num_part,
                           cfg.data.min_num_part, cfg.data.overfit)
-    train_loader = Loader(train_ds, cfg.data.batch_size, seed=cfg.trainer.seed)
+    # part-count bucketed batching (data/bucketing.py): VQ-VAE compute is proportional to the
+    # compacted slot count B*P whatever the validity mask says, so slicing a batch to its
+    # bucket pad cuts encoder+chamfer work directly. Slot masking keeps the loss pad-invariant.
+    bucket_mult = cfg.data.part_bucket_multiple
+
+    def _bucket_key(ds):
+        if not bucket_mult:
+            return None
+        return [part_bucket(int(c), bucket_mult, cap=cfg.data.max_num_part)
+                for c in ds.num_parts_list()]
+
+    def _slice(batch):
+        if not bucket_mult:
+            return batch
+        P_b = part_bucket(int(np.max(batch["num_parts"])), bucket_mult,
+                          cap=cfg.data.max_num_part)
+        return slice_batch_parts(batch, P_b)
+
+    train_loader = Loader(train_ds, cfg.data.batch_size, seed=cfg.trainer.seed,
+                          bucket_key=_bucket_key(train_ds))
     val_loader = Loader(val_ds, cfg.data.val_batch_size, shuffle=False, drop_last=False,
-                        seed=cfg.trainer.seed)
+                        seed=cfg.trainer.seed, bucket_key=_bucket_key(val_ds))
 
     steps_per_epoch = max(len(train_loader), 1)
     milestones = tuple(int(m) * steps_per_epoch for m in cfg.ae.lr_milestones)
@@ -145,7 +165,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     step = 0
     for epoch in range(cfg.ae.epochs):
         for batch in train_loader:
-            state, metrics = train_step(state, shard_batch(numeric_batch(batch), mesh),
+            state, metrics = train_step(state, shard_batch(_slice(numeric_batch(batch)), mesh),
                                         model, tx)
             if step % cfg.trainer.log_every == 0:
                 logger.log(step, epoch=epoch, **jax.device_get(metrics))
@@ -156,7 +176,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
         if (epoch + 1) % cfg.trainer.ckpt_every_epochs == 0 or epoch + 1 == cfg.ae.epochs:
             vals = []
             for batch in val_loader:
-                padded, n_real = pad_batch_to_devices(numeric_batch(batch), n_dev)
+                padded, n_real = pad_batch_to_devices(_slice(numeric_batch(batch)), n_dev)
                 m = eval_step(state, shard_batch(padded, mesh), model)
                 vals.append(float(m["cd_loss"]))
             if vals:

@@ -228,6 +228,78 @@ def test_bucketed_denoiser_training_runs(bucket_setup, tmp_path):
     assert rows and all(np.isfinite(r["mse_loss"]) for r in rows if "mse_loss" in r)
 
 
+def test_bucketed_vqvae_loss_pad_invariant(bucket_setup, tmp_path):
+    """VQ-VAE loss is computed over slot-masked compacted parts, so slicing a batch to its
+    bucket pad must leave the loss unchanged (compute drops from B*P_full to B*P_b slots)."""
+    from puzzlefusion_plusplus_tpu.data.datasets import VQVAEDataset
+    from puzzlefusion_plusplus_tpu.models.vqvae import VQVAE
+    from puzzlefusion_plusplus_tpu.training import vqvae as tvq
+
+    root = str(tmp_path / "vq")
+    generate_dataset(root, num_shapes=3, seed=21, split="train", min_parts=3, max_parts=5,
+                     n_points=96)
+    ds = VQVAEDataset(root + "/pc_data/train", max_num_part=8)
+    np.testing.assert_array_equal(ds.num_parts_list(),
+                                  [int(s["num_parts"]) for s in ds.data_list])
+    batch = next(iter(Loader(ds, 3, shuffle=False, drop_last=False)))
+    model = VQVAE(n_embeddings=32, embedding_dim=16, num_point=24, num_dim=64,
+                  local_decode_pts=4, sa_npoints=(24, 12), sa_nsamples=(8, 8, 8))
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "data_id"}
+    flat, _ = tvq._flatten_compact(jb)
+    variables = model.init(jax.random.key(0), flat, train=False)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    P_b = part_bucket(int(np.max(batch["num_parts"])))
+    assert P_b < batch["part_pcs"].shape[1]
+    sliced = slice_batch_parts(batch, P_b)
+    jb_s = {k: jnp.asarray(v) for k, v in sliced.items() if k != "data_id"}
+    loss_f, (m_f, _) = tvq.loss_fn(params, stats, model, jb, train=False)
+    loss_b, (m_b, _) = tvq.loss_fn(params, stats, model, jb_s, train=False)
+    np.testing.assert_allclose(float(loss_f), float(loss_b), rtol=1e-5)
+    np.testing.assert_allclose(float(m_f["cd_loss"]), float(m_b["cd_loss"]), rtol=1e-5)
+
+
+def test_bucketed_vqvae_training_runs(bucket_setup, tmp_path):
+    """VQ-VAE training with data.part_bucket_multiple: bucket-homogeneous batches sliced to
+    their pad, jitted step re-specializes per pad — loss finite."""
+    cfg, _, _ = bucket_setup
+    import dataclasses
+    import json
+    import os
+
+    from puzzlefusion_plusplus_tpu.training import vqvae as tvq
+
+    root = str(tmp_path / "vqtrain")
+    generate_dataset(root, num_shapes=4, seed=22, split="train", min_parts=3, max_parts=6,
+                     n_points=96)
+    cfg2 = dataclasses.replace(cfg)
+    cfg2.data = dataclasses.replace(cfg.data)
+    cfg2.ae = dataclasses.replace(cfg.ae)
+    cfg2.trainer = dataclasses.replace(cfg.trainer)
+    cfg2.data.data_dir = root + "/pc_data/train"
+    cfg2.data.data_val_dir = root + "/pc_data/train"
+    cfg2.data.batch_size = 2
+    cfg2.data.val_batch_size = 2
+    cfg2.data.part_bucket_multiple = 4
+    cfg2.ae.epochs = 1
+    cfg2.trainer.num_devices = 1
+    cfg2.trainer.output_dir = str(tmp_path / "vqout")
+    from puzzlefusion_plusplus_tpu.models.vqvae import VQVAE
+
+    orig = tvq.make_model
+    tvq.make_model = lambda c: VQVAE(n_embeddings=32, embedding_dim=16, num_point=24,
+                                     num_dim=64, local_decode_pts=4,
+                                     sa_npoints=(24, 12), sa_nsamples=(8, 8, 8))
+    try:
+        tvq.train(cfg2, max_steps=2)
+    finally:
+        tvq.make_model = orig
+    log = os.path.join(str(tmp_path / "vqout"), cfg2.trainer.experiment_name, "vqvae",
+                       "metrics.jsonl")
+    rows = [json.loads(l) for l in open(log)]
+    assert rows and all(np.isfinite(r["total_loss"]) for r in rows if "total_loss" in r)
+
+
 def _run(engine, batch, rngs):
     sample = {k: jnp.asarray(batch[k]) for k in SAMPLE_KEYS}
     return jax.device_get(engine(sample, rngs))
