@@ -152,6 +152,11 @@ def make_matching_data_npz(
     gt_pcs = np.concatenate(area_parts, axis=0).astype(np.float32)
 
     # critical points: within contact_threshold of any adjacent fragment's area points
+    # (cKDTree NN queries replace the dense [ni, nj] distance matrices — same semantics,
+    # dominates dataset generation time otherwise)
+    from scipy.spatial import cKDTree
+
+    trees = [cKDTree(p) for p in area_parts]
     critical_local_idx = []
     n_critical = np.zeros(P, dtype=np.int64)
     for i in range(P):
@@ -159,9 +164,7 @@ def make_matching_data_npz(
         for j in range(P):
             if i == j or not shape["graph"][i, j]:
                 continue
-            dij = np.linalg.norm(
-                area_parts[i][:, None, :] - area_parts[j][None], axis=-1
-            ).min(axis=1)
+            dij, _ = trees[j].query(area_parts[i], k=1)
             near |= dij < contact_threshold
         idx = np.where(near)[0]
         critical_local_idx.append(idx)
@@ -184,9 +187,8 @@ def make_matching_data_npz(
             cj = area_parts[j][critical_local_idx[j]]
             if len(ci) == 0 or len(cj) == 0:
                 continue
-            d = np.linalg.norm(ci[:, None, :] - cj[None], axis=-1)
-            nn_j = np.argmin(d, axis=1)
-            keep = d[np.arange(len(ci)), nn_j] < contact_threshold
+            d_nn, nn_j = cKDTree(cj).query(ci, k=1)
+            keep = d_nn < contact_threshold
             src = np.where(keep)[0]
             if len(src) == 0:
                 continue
