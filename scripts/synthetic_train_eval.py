@@ -56,6 +56,9 @@ cfg.data.matching_data_path = ROOT + "/matching_data"
 cfg.data.verifier_data_path = ROOT + "/verifier_data"
 cfg.trainer.output_dir = OUT
 cfg.trainer.num_devices = 1
+# part-count bucketing for the training loops (pad-invariant by loss masking; property-
+# tested in tests/test_bucketing.py) — one XLA specialization per bucket pad
+cfg.data.part_bucket_multiple = int(os.environ.get("BUCKET_MULT", "4"))
 
 # ---- stage 1
 ae_ckpt = OUT + "/everyday/vqvae/ckpt"

@@ -150,3 +150,46 @@ def test_loader_custom_order(data_root):
     l_shuf = Loader(ds, batch_size=1, shuffle=True, drop_last=False, order=order[: n - 1])
     seen = sorted(b["data_id"][0] for b in l_shuf)
     assert seen == sorted(fwd[1:])
+
+
+def test_matching_npz_kdtree_equals_bruteforce():
+    """make_matching_data_npz's cKDTree NN queries must reproduce the dense-distance
+    semantics: critical = any adjacent-fragment NN distance < threshold; correspondences =
+    NN pairs across critical sets under the same threshold."""
+    from puzzlefusion_plusplus_tpu.data.synthetic import make_matching_data_npz
+
+    rng = np.random.default_rng(3)
+    s = fracture_shape(rng, num_parts=4)
+    m = make_matching_data_npz(s, np.random.default_rng(5))
+
+    # brute-force recomputation of the critical sets from the saved area clouds
+    n_pcs = m["n_pcs"]
+    offs = np.concatenate([[0], np.cumsum(n_pcs)])
+    parts = [m["gt_pcs"][offs[i] : offs[i + 1]] for i in range(len(n_pcs))]
+    thr = 0.04
+    for i in range(len(parts)):
+        near = np.zeros(len(parts[i]), dtype=bool)
+        for j in range(len(parts)):
+            if i == j or not s["graph"][i, j]:
+                continue
+            d = np.linalg.norm(parts[i][:, None, :] - parts[j][None], axis=-1).min(axis=1)
+            near |= d < thr
+        expect = np.where(near)[0]
+        got = m["critical_pcs_idx"][offs[i] : offs[i] + m["n_critical_pcs"][i]]
+        np.testing.assert_array_equal(np.sort(got), expect)
+
+    # every correspondence pair must be within threshold; in the originally-computed
+    # direction (e1 < e0, the first of the two stored orientations) the target must also
+    # be the true nearest neighbor of its source
+    def crit(p):
+        return parts[p][m["critical_pcs_idx"][offs[p] : offs[p] + m["n_critical_pcs"][p]]]
+
+    assert len(m["edges"]) > 0
+    for (e0, e1), pair in zip(m["edges"], m["correspondence"]):
+        # pair[:, 0] indexes e1's critical set, pair[:, 1] indexes e0's (synthetic.py:197-203)
+        src_set, tgt_set = crit(e1), crit(e0)
+        for a, b in pair:
+            d = np.linalg.norm(src_set[a] - tgt_set, axis=-1)
+            assert d[b] < thr
+            if e1 < e0:
+                assert d[b] <= d.min() + 1e-12
