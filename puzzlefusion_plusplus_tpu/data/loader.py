@@ -6,7 +6,10 @@ on the host exactly like the reference's Dataset; batches are stacked dicts of n
 
 Data-parallel contract: the loader produces *global* batches (per-device batch x mesh size); the
 training loop shards the leading dim over the mesh (parallel/mesh.py). Under multi-host, pass
-``process_index``/``process_count`` to read a disjoint shard of the dataset per host.
+``process_index``/``process_count``: every host builds the SAME global batch list (the shuffle
+rng is (seed, epoch)-derived, identical across hosts) and serves a disjoint round-robin shard
+of it, truncated to a common per-host count so SPMD hosts always step the same number of times
+per epoch (trailing batches beyond ``global_count // process_count`` per host are skipped).
 """
 
 from __future__ import annotations
@@ -43,17 +46,13 @@ class Loader:
         self.bucket_key = None if bucket_key is None else np.asarray(bucket_key, np.int64)
 
     def __len__(self) -> int:
-        if self.bucket_key is not None:
-            # deterministic estimate (shuffling re-shards buckets across hosts per epoch)
-            shard = np.arange(len(self.dataset))[self.process_index :: self.process_count]
-            sizes = np.bincount(self.bucket_key[shard])
-            if self.drop_last:
-                return int(sum(s // self.batch_size for s in sizes))
-            return int(sum(-(-s // self.batch_size) for s in sizes if s))
-        n = len(self.dataset) // self.process_count
-        if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+        # exact: batch membership per bucket is permutation-invariant, so the global batch
+        # count is deterministic given (order, bucket_key, batch_size, drop_last)
+        order = np.arange(len(self.dataset)) if self.order is None else self.order
+        count = len(self._global_batches(order))
+        if self.process_count > 1:
+            count //= self.process_count
+        return count
 
     def __iter__(self) -> Iterator[dict]:
         n = len(self.dataset)
@@ -61,26 +60,29 @@ class Loader:
         rng = np.random.default_rng((self.seed, self.epoch))
         if self.shuffle:
             order = order[rng.permutation(len(order))]
-        order = order[self.process_index :: self.process_count]
+        batches = self._global_batches(order, rng)
+        if self.process_count > 1:
+            per_host = len(batches) // self.process_count
+            batches = batches[self.process_index :: self.process_count][:per_host]
         self.epoch += 1
-        for idx in self._batches(order, rng):
+        for idx in batches:
             items = [self.dataset.get(int(i), rng) for i in idx]
             yield self.collate(items)
 
-    def _batches(self, order: np.ndarray, rng) -> Iterator[np.ndarray]:
-        """Split a (possibly shuffled) index order into batches. With ``bucket_key``,
-        batches are formed WITHIN each bucket (so every batch can be served at its
-        bucket's shape pad, data/bucketing.py) and the resulting batch list is shuffled —
-        the standard bucketed-batching scheme: shapes stay homogeneous per batch while
-        batch ORDER stays random across buckets."""
+    def _global_batches(self, order: np.ndarray, rng=None) -> list[np.ndarray]:
+        """Split a (possibly shuffled) index order into the global batch list. With
+        ``bucket_key``, batches are formed WITHIN each bucket (so every batch can be served
+        at its bucket's shape pad, data/bucketing.py) and the batch list is shuffled when an
+        rng is given — the standard bucketed-batching scheme: shapes stay homogeneous per
+        batch while batch ORDER stays random across buckets."""
+        batches = []
         if self.bucket_key is None:
             for start in range(0, len(order), self.batch_size):
                 idx = order[start : start + self.batch_size]
                 if self.drop_last and len(idx) < self.batch_size:
-                    return
-                yield idx
-            return
-        batches = []
+                    break
+                batches.append(idx)
+            return batches
         for key in np.unique(self.bucket_key[order]):
             members = order[self.bucket_key[order] == key]  # keeps the shuffled order
             for start in range(0, len(members), self.batch_size):
@@ -88,9 +90,9 @@ class Loader:
                 if self.drop_last and len(idx) < self.batch_size:
                     break
                 batches.append(idx)
-        if self.shuffle:
+        if self.shuffle and rng is not None:
             batches = [batches[i] for i in rng.permutation(len(batches))]
-        yield from batches
+        return batches
 
 
 def collate_stack(items: list[dict[str, Any]]) -> dict[str, np.ndarray]:

@@ -21,6 +21,7 @@ correspondences and chamfer-histogram verifier features behave like the real dat
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -307,7 +308,9 @@ def generate_dataset(
     if with_verifier:
         os.makedirs(verif_dir, exist_ok=True)
 
-    rng = np.random.default_rng((seed, hash(split) % (2**31)))
+    # zlib.crc32, NOT hash(): str hashes are PYTHONHASHSEED-salted per process, which made
+    # "identical seed" datasets differ between processes (flaky tests, unreproducible runs)
+    rng = np.random.default_rng((seed, zlib.crc32(split.encode())))
     base = 0 if split == "train" else 10_000
     for s in range(num_shapes):
         data_id = base + s

@@ -89,6 +89,57 @@ def pn2_grouping_geometry(
     return (idx1, idx2, idx3), ((n1, g1), (n2, g2), (n3, g3))
 
 
+class MaskedBatchNorm(nn.Module):
+    """``nn.BatchNorm`` with optional per-sample weights for the batch statistics.
+
+    The compacted slot layout (utils/masking.py) fills invalid slots with cyclic repeats of
+    valid parts; the reference's BatchNorm sees only the boolean-flattened VALID parts
+    (vqvae/model/fracture_ae.py:16-29). Zero-weighting the repeats reproduces that
+    semantics exactly and makes train-mode statistics independent of the bucket pad
+    (data/bucketing.py). Param/stat layout matches ``nn.BatchNorm`` (params: scale/bias,
+    batch_stats: mean/var, f32) for checkpoint and converter compatibility; ``weights=None``
+    is numerically identical to ``nn.BatchNorm``.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x, weights: jnp.ndarray | None = None):
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            red = tuple(range(x.ndim - 1))
+            if weights is None:
+                mean = xf.mean(red)
+                var = jnp.square(xf - mean).mean(red)
+            else:
+                w = weights.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+                elems = 1
+                for s in x.shape[1:-1]:
+                    elems *= s
+                denom = jnp.maximum(w.sum() * elems, 1e-6)
+                mean = (xf * w).sum(red) / denom
+                var = (jnp.square(xf - mean) * w).sum(red) / denom
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class PointNetSetAbstraction(nn.Module):
     npoint: int
     radius: float
@@ -97,7 +148,8 @@ class PointNetSetAbstraction(nn.Module):
     dtype: object = None  # compute dtype (bf16 for mixed precision); params stay fp32
 
     @nn.compact
-    def __call__(self, xyz, points, train: bool = False, idx=None, geom=None, rot=None):
+    def __call__(self, xyz, points, train: bool = False, idx=None, geom=None, rot=None,
+                 bn_mask=None):
         """xyz: [B, N, 3], points: [B, N, D] or None -> (new_xyz [B, S, 3], feats [B, S, C]).
 
         ``idx``: optional precomputed (fps_idx, group_idx) from ``sa_stage_indices`` —
@@ -155,17 +207,17 @@ class PointNetSetAbstraction(nn.Module):
             else:
                 grouped = grouped_xyz
             h = conv0(grouped)
-        h = nn.BatchNorm(
+        h = MaskedBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn0",
             dtype=self.dtype,
-        )(h)
+        )(h, bn_mask)
         h = nn.relu(h)
         for i, ch in enumerate(self.mlp[1:], start=1):
             h = nn.Dense(ch, name=f"conv{i}", dtype=self.dtype)(h)
-            h = nn.BatchNorm(
+            h = MaskedBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"bn{i}",
                 dtype=self.dtype,
-            )(h)
+            )(h, bn_mask)
             h = nn.relu(h)
         feats = h.max(axis=2)  # max over neighborhood K
         return new_xyz, feats
@@ -210,8 +262,11 @@ class PN2(nn.Module):
         return pn2_grouping_indices(xyz, self.num_point, self.sa_npoints, self.sa_nsamples)
 
     def encode(self, xyz, train: bool = False, cached_idx=None, cached_geom=None,
-               rot=None):
+               rot=None, bn_mask=None):
         """xyz: [B, N, 3] -> (z_e [B, L, num_dim], token centers [B, L, 3]).
+
+        ``bn_mask``: optional [B] {0,1} slot weights for train-mode BatchNorm statistics
+        (MaskedBatchNorm — excludes compaction repeats, keeps stats bucket-pad-invariant).
 
         ``cached_idx``: optional output of ``grouping_indices`` (computed on any rigid
         rotation of ``xyz``) — removes all FPS/ball-query work from the forward.
@@ -222,9 +277,9 @@ class PN2(nn.Module):
         folded into each stage's first Dense (see PointNetSetAbstraction)."""
         i1, i2, i3 = cached_idx if cached_idx is not None else (None, None, None)
         g1, g2, g3 = cached_geom if cached_geom is not None else (None, None, None)
-        l1_xyz, l1_points = self.sa1(xyz, None, train, i1, g1, rot)
-        l2_xyz, l2_points = self.sa2(l1_xyz, l1_points, train, i2, g2, rot)
-        l3_xyz, l3_points = self.sa3(l2_xyz, l2_points, train, i3, g3, rot)
+        l1_xyz, l1_points = self.sa1(xyz, None, train, i1, g1, rot, bn_mask)
+        l2_xyz, l2_points = self.sa2(l1_xyz, l1_points, train, i2, g2, rot, bn_mask)
+        l3_xyz, l3_points = self.sa3(l2_xyz, l2_points, train, i3, g3, rot, bn_mask)
         return self.conv6(l3_points), l3_xyz
 
     def decode(self, global_feat):
@@ -326,9 +381,10 @@ class VQVAE(nn.Module):
     def __call__(self, part_pcs, train: bool = False, mask: jnp.ndarray | None = None):
         """part_pcs: [B, N, 3] -> dict with reconstruction offsets + quantizer stats.
 
-        ``mask``: optional [B] {0,1} sample validity for the quantizer losses.
+        ``mask``: optional [B] {0,1} sample validity for the quantizer losses and the
+        train-mode BatchNorm statistics (compaction repeats carry zero weight).
         """
-        z_e, xyz = self.pn2.encode(part_pcs, train)
+        z_e, xyz = self.pn2.encode(part_pcs, train, bn_mask=mask if train else None)
         z_e = z_e.astype(jnp.float32)
         B, L, _ = z_e.shape
         embedding_loss, z_q, perplexity, code_idx = self.vector_quantization(

@@ -35,7 +35,12 @@ def _centers_per_tile(k: int) -> int:
     measured on v5e (b8 encoder scan, ms/step): 256->7.86, 512->6.92, 1024->6.01,
     2048->5.58, 4096->6.31 — outputs bitwise identical across budgets."""
     assert 128 % k == 0 or k % 128 == 0, f"K={k} must divide/be divisible by 128"
-    return max(8, _ROW_BUDGET // k)  # >= 8 so output blocks meet the (8, 128) constraint
+    # constraints (independent of the env budget): ST*K % 128 == 0 (dynamic lane-slice
+    # offsets at s_tile*ST*K must be provable 128-multiples), 8 <= ST <= 128 (the per-tile
+    # center indices are packed into 128-lane fidx segments)
+    m = max(128 // k, 1)  # ST granularity making ST*K a 128-multiple
+    st = max(max(8, m), (_ROW_BUDGET // k) // m * m)
+    return min(st, 128)
 
 
 def fold_batchnorm(kernel, bias, scale, bn_bias, mean, var, eps=1e-5):

@@ -106,26 +106,37 @@ def assemble_video(frame_paths: list[str], video_path: str, fps: int = 8,
         )
         return video_path
     except (FileNotFoundError, subprocess.CalledProcessError):
-        pass
+        if os.path.exists(video_path):  # ffmpeg -y can leave a partial file on failure
+            os.remove(video_path)
     try:
         import cv2
 
         first = cv2.imread(frame_paths[0])
+        if first is None:
+            raise ValueError(f"unreadable frame: {frame_paths[0]}")
         h, w = first.shape[:2]
         writer = cv2.VideoWriter(
             video_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
         )
-        for p in frame_paths:
-            img = cv2.imread(p)
-            if img.shape[:2] != (h, w):
-                img = cv2.resize(img, (w, h))
-            writer.write(img)
-        for _ in range(int(hold_last_s * fps)):  # hold the last frame like the reference
-            writer.write(img)
-        writer.release()
+        try:
+            img = first
+            for p in frame_paths:
+                nxt = cv2.imread(p)
+                if nxt is None:
+                    raise ValueError(f"unreadable frame: {p}")
+                img = nxt
+                if img.shape[:2] != (h, w):
+                    img = cv2.resize(img, (w, h))
+                writer.write(img)
+            for _ in range(int(hold_last_s * fps)):  # hold the last frame like the reference
+                writer.write(img)
+        finally:
+            writer.release()  # always flush/close, even when a frame read fails mid-loop
         return video_path
     except Exception:
-        pass
+        # don't leave a truncated container behind for consumers globbing the video
+        if os.path.exists(video_path):
+            os.remove(video_path)
     try:
         from PIL import Image
 

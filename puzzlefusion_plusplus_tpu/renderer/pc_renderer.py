@@ -68,10 +68,12 @@ def render_trajectory(
         plt.close(fig)
         written.append(path)
 
-    # video assembly (reference save_video contract, myrenderer.py:264-284)
-    video = assemble_video(written, os.path.join(out_dir, "assembly.mp4"))
-    if video is not None:
-        written.append(video)
+    # video assembly (reference save_video contract, myrenderer.py:264-284); make_gif=False
+    # keeps the frames-only contract (no mp4/GIF written)
+    if make_gif:
+        video = assemble_video(written, os.path.join(out_dir, "assembly.mp4"))
+        if video is not None:
+            written.append(video)
     return written
 
 

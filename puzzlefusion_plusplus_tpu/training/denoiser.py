@@ -268,8 +268,13 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     topk = TopKCheckpointer(f"{out_dir}/ckpt", monitor="eval_part_acc", mode="max",
                             top_k=cfg.trainer.ckpt_top_k)
     state = maybe_restore(state, f"{out_dir}/ckpt", cfg.denoiser.ckpt_path)
-    step = 0
-    for epoch in range(cfg.denoiser.epochs):
+    # resume the step counter from the restored state: a fresh counter would regenerate the
+    # same step_N checkpoint names and corrupt top-k retention (overwrite + metric rebind)
+    step = int(state.step)
+    # skip epochs already completed by the restored run (approximate under bucketing, where
+    # the per-epoch batch count varies slightly with the permutation)
+    start_epoch = min(step // max(len(train_loader), 1), cfg.denoiser.epochs)
+    for epoch in range(start_epoch, cfg.denoiser.epochs):
         for batch in train_loader:
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(

@@ -132,8 +132,10 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     topk = TopKCheckpointer(f"{out_dir}/ckpt", monitor="val_cls_acc", mode="max",
                             top_k=cfg.trainer.ckpt_top_k)
     state = maybe_restore(state, f"{out_dir}/ckpt", cfg.verifier.ckpt_path)
-    step = 0
-    for epoch in range(cfg.verifier.epochs):
+    # resume step from the restored state (keeps step_N checkpoint names collision-free)
+    step = int(state.step)
+    start_epoch = min(step // max(len(train_loader), 1), cfg.verifier.epochs)
+    for epoch in range(start_epoch, cfg.verifier.epochs):
         for batch in train_loader:
             rng, k = jax.random.split(rng)
             state, metrics = train_step(

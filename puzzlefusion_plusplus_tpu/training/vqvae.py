@@ -124,7 +124,9 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
                           cfg.data.min_num_part, cfg.data.overfit)
     # part-count bucketed batching (data/bucketing.py): VQ-VAE compute is proportional to the
     # compacted slot count B*P whatever the validity mask says, so slicing a batch to its
-    # bucket pad cuts encoder+chamfer work directly. Slot masking keeps the loss pad-invariant.
+    # bucket pad cuts encoder+chamfer work directly. Slot masking keeps the loss AND the
+    # train-mode BatchNorm statistics pad-invariant (MaskedBatchNorm zero-weights the
+    # compaction repeats, models/vqvae.py).
     bucket_mult = cfg.data.part_bucket_multiple
 
     def _bucket_key(ds):
@@ -162,8 +164,10 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     topk = TopKCheckpointer(f"{out_dir}/ckpt", monitor="val_cd_loss", mode="min",
                             top_k=cfg.trainer.ckpt_top_k)
     state = maybe_restore(state, f"{out_dir}/ckpt", cfg.ae.ckpt_path)
-    step = 0
-    for epoch in range(cfg.ae.epochs):
+    # resume step from the restored state (keeps step_N checkpoint names collision-free)
+    step = int(state.step)
+    start_epoch = min(step // max(len(train_loader), 1), cfg.ae.epochs)
+    for epoch in range(start_epoch, cfg.ae.epochs):
         for batch in train_loader:
             state, metrics = train_step(state, shard_batch(_slice(numeric_batch(batch)), mesh),
                                         model, tx)

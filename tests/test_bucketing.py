@@ -236,7 +236,8 @@ def test_bucketed_vqvae_loss_pad_invariant(bucket_setup, tmp_path):
     from puzzlefusion_plusplus_tpu.training import vqvae as tvq
 
     root = str(tmp_path / "vq")
-    generate_dataset(root, num_shapes=3, seed=21, split="train", min_parts=3, max_parts=5,
+    # max_parts=4 guarantees bucket pad 4 < the dataset pad 8 whatever the rng draws
+    generate_dataset(root, num_shapes=3, seed=21, split="train", min_parts=3, max_parts=4,
                      n_points=96)
     ds = VQVAEDataset(root + "/pc_data/train", max_num_part=8)
     np.testing.assert_array_equal(ds.num_parts_list(),
@@ -257,6 +258,17 @@ def test_bucketed_vqvae_loss_pad_invariant(bucket_setup, tmp_path):
     loss_b, (m_b, _) = tvq.loss_fn(params, stats, model, jb_s, train=False)
     np.testing.assert_allclose(float(loss_f), float(loss_b), rtol=1e-5)
     np.testing.assert_allclose(float(m_f["cd_loss"]), float(m_b["cd_loss"]), rtol=1e-5)
+
+    # train mode: MaskedBatchNorm zero-weights the compaction repeats, so the train-mode
+    # loss AND the updated batch statistics are bucket-pad-invariant too (the repeats'
+    # count varies with the pad; unweighted BN stats would differ between pads)
+    loss_tf, (_, stats_f) = tvq.loss_fn(params, stats, model, jb, train=True)
+    loss_tb, (_, stats_b) = tvq.loss_fn(params, stats, model, jb_s, train=True)
+    np.testing.assert_allclose(float(loss_tf), float(loss_tb), rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        stats_f, stats_b,
+    )
 
 
 def test_bucketed_vqvae_training_runs(bucket_setup, tmp_path):

@@ -81,3 +81,20 @@ def test_best_falls_back_to_latest_without_index(tmp_path):
     save_checkpoint(ckpt_dir, _state(1.0), 1)
     save_checkpoint(ckpt_dir, _state(2.0), 2)
     assert os.path.basename(best_checkpoint(ckpt_dir)) == "step_2"
+
+
+def test_resume_continues_step_counter(tmp_path):
+    """Resumed training must continue the restored step counter: a counter restarting at 0
+    would regenerate the same step_N checkpoint names, overwriting the retained top-k
+    weights while topk.json silently rebinds their metrics (round-2 review finding)."""
+    ckpt_dir = str(tmp_path / "ckpt")
+    topk = TopKCheckpointer(ckpt_dir, monitor="eval_part_acc", mode="max", top_k=2)
+    topk.save(_state(1.0, 63), 63, 0.91)  # best checkpoint of the "first run"
+
+    restored = maybe_restore(_state(0.0, 0), ckpt_dir, None)
+    step = int(restored.step)  # the training loops' resume pattern
+    assert step == 63
+    topk.save(_state(2.0, step + 1), step + 1, 0.55)  # resumed run's next validation
+    assert best_checkpoint(ckpt_dir).endswith("step_63")
+    r63 = maybe_restore(_state(0.0, 0), ckpt_dir, os.path.join(ckpt_dir, "step_63"))
+    assert float(r63.params["w"][0]) == 1.0  # best weights untouched

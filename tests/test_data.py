@@ -193,3 +193,46 @@ def test_matching_npz_kdtree_equals_bruteforce():
             assert d[b] < thr
             if e1 < e0:
                 assert d[b] <= d.min() + 1e-12
+
+
+class _StubDS:
+    """Minimal loader-compatible dataset: item i is {'data_id': i}."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def get(self, i, rng):
+        return {"data_id": np.int64(i)}
+
+
+def test_loader_len_respects_custom_order():
+    ds = _StubDS(10)
+    l = Loader(ds, batch_size=2, shuffle=False, drop_last=True, order=np.arange(7))
+    assert len(l) == 3 == sum(1 for _ in l)
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_loader_multihost_equal_counts_and_disjoint(bucketed):
+    """SPMD contract: every host steps the same number of times per epoch and hosts serve
+    disjoint samples — including bucket/sample distributions where per-host sample striding
+    would give hosts different batch counts."""
+    n = 23
+    ds = _StubDS(n)
+    # lopsided buckets: sizes 13 and 10 with batch_size 4 -> 3 + 2 = 5 global batches
+    key = (np.arange(n) < 13).astype(np.int64) if bucketed else None
+    loaders = [
+        Loader(ds, batch_size=4, shuffle=True, drop_last=True, seed=7,
+               process_index=p, process_count=2, bucket_key=key)
+        for p in range(2)
+    ]
+    per_host = [list(l) for l in loaders]
+    assert len(per_host[0]) == len(per_host[1]) == len(loaders[0])
+    seen = [int(x) for batches in per_host for b in batches for x in b["data_id"]]
+    assert len(seen) == len(set(seen))  # disjoint across hosts
+    if bucketed:
+        for batches in per_host:
+            for b in batches:  # batches never cross buckets
+                assert len(set(key[b["data_id"]])) == 1

@@ -67,13 +67,19 @@ def test_render_frames_and_video(tmp_path):
     d = str(tmp_path)
     gt, traj, init = _write_artifacts(d)
     pts = np.random.default_rng(1).normal(size=(3, 40, 3)).astype(np.float32)
-    paths = render_trajectory(d, pts, every=3, make_gif=False)
+    paths = render_trajectory(d, pts, every=3)
     pngs = [p for p in paths if p.endswith(".png")]
     assert len(pngs) >= 2
     assert all(os.path.getsize(p) > 1000 for p in pngs)
     videos = [p for p in paths if p.endswith((".mp4", ".gif"))]
     assert videos, "no video assembled despite cv2/PIL being available"
     assert os.path.getsize(videos[0]) > 1000
+
+    # make_gif=False keeps the frames-only contract: no mp4/GIF written
+    d2 = str(tmp_path / "frames_only")
+    paths2 = render_trajectory(d, pts, out_dir=d2, every=3, make_gif=False)
+    assert paths2 and all(p.endswith(".png") for p in paths2)
+    assert not [f for f in os.listdir(d2) if f.endswith((".mp4", ".gif"))]
 
 
 def test_assemble_video_cv2_fallback(tmp_path):
