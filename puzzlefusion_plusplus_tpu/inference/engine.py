@@ -334,8 +334,12 @@ def verify_phase(
     merging = n_valid_members >= 2  # components that actually merge
     part_merges = (merging[labels]) & ~done  # [P] part belongs to a merging component
 
-    # pivot per label: largest-scale member (auto_aggl.py:249)
-    scale_masked = jnp.where(member, state.part_scale[None, :], -jnp.inf)
+    # pivot per label: largest-scale member among CURRENT nodes (auto_aggl.py:249) —
+    # absorbed slots keep their stale part_scale, so an unmasked argmax could resurrect a
+    # dead node as pivot when its old scale beats the merged cloud's
+    scale_masked = jnp.where(
+        member & state.node_valids[None, :], state.part_scale[None, :], -jnp.inf
+    )
     label_pivot = jnp.argmax(scale_masked, axis=1).astype(jnp.int32)  # [label]
 
     # centroid per label over member *valid-node* clouds (auto_aggl.py:250-256)

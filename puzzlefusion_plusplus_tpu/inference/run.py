@@ -45,7 +45,7 @@ SAMPLE_KEYS = (
 
 
 def build_engine_fn(cfg: Config):
-    """Returns (jitted batched engine fn, models bundle)."""
+    """Returns the jitted batched engine fn (a closure over the loaded model weights)."""
     denoiser = make_denoiser_model(cfg)
     verifier = make_verifier_model(cfg)
     encoder = load_frozen_encoder(cfg)

@@ -31,6 +31,12 @@ def sample_reweighted_points_by_areas(
     nps = sample_points_by_areas(areas, num_points)
     if min_part_point <= 1:
         return nps
+    if num_points < len(areas) * min_part_point:
+        # the rebalance loop below cannot terminate once every part sits at the minimum
+        raise ValueError(
+            f"num_points={num_points} cannot give all {len(areas)} parts >= "
+            f"{min_part_point} points; raise num_points or lower min_part_point"
+        )
     delta = 0
     for i in range(len(nps)):
         if nps[i] < min_part_point:

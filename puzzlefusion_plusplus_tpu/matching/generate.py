@@ -19,9 +19,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from puzzlefusion_plusplus_tpu.data.loader import Loader
-from puzzlefusion_plusplus_tpu.matching.alignment import global_alignment, weighted_horn
+from puzzlefusion_plusplus_tpu.matching.alignment import global_alignment
 from puzzlefusion_plusplus_tpu.matching.dataset import AllPieceMatchingDataset
 from puzzlefusion_plusplus_tpu.matching.sinkhorn import _hungarian_host
+
+
+def _horn_numpy(src, tgt, w):
+    """Weighted Kabsch/Horn on the host (same convention as alignment.weighted_horn:
+    minimizes sum w * ||src @ r.T + t - tgt||^2). Pure numpy: the offline generation loop
+    runs thousands of tiny solves per shape, and eager per-call jnp execution would pay a
+    device round-trip each (pathological through the TPU tunnel, CLAUDE.md)."""
+    w = np.asarray(w, np.float64)[:, None]
+    ws = max(w.sum(), 1e-12)
+    cs = (src * w).sum(0) / ws
+    ct = (tgt * w).sum(0) / ws
+    h = ((src - cs) * w).T @ (tgt - ct)
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    return r, ct - r @ cs
 
 
 def _ransac_numpy(src, tgt, rng, iters=128, threshold=0.02):
@@ -31,18 +47,14 @@ def _ransac_numpy(src, tgt, rng, iters=128, threshold=0.02):
     best_count = -1
     for _ in range(iters):
         idx = rng.integers(0, n, 3)
-        r, t = [np.asarray(x) for x in weighted_horn(
-            jnp.asarray(src[idx]), jnp.asarray(tgt[idx]), jnp.ones(3)
-        )]
+        r, t = _horn_numpy(src[idx], tgt[idx], np.ones(3))
         err = np.linalg.norm(src @ r.T + t - tgt, axis=-1)
         inliers = err < threshold
         c = inliers.sum()
         if c > best_count:
             best_count, best_inliers = c, inliers
     w = best_inliers.astype(np.float64) if best_count >= 3 else np.ones(n)
-    r, t = [np.asarray(x) for x in weighted_horn(
-        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(w)
-    )]
+    r, t = _horn_numpy(src, tgt, w)
     m = np.eye(4)
     m[:3, :3] = r
     m[:3, 3] = t

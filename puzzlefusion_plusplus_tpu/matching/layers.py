@@ -71,13 +71,25 @@ class CrossAttentionLayer(nn.Module):
 
 class BatchNormPoints(nn.Module):
     """torch BatchNorm1d over channels of a flattened point set (the reference's
-    LayerNorm1d subclass of BatchNorm1d, attention_layer.py:118-126)."""
+    LayerNorm1d subclass of BatchNorm1d, attention_layer.py:118-126).
+
+    ``weights``: optional per-point {0,1} mask (any shape broadcastable to x[..., 0]) —
+    train-mode statistics then ignore zero-weight points. The reference computes these BNs
+    on ragged valid-only buffers; in the fixed-shape design the invalid tail slots would
+    otherwise pollute the statistics (and make them depend on the pad)."""
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, weights=None):
+        from puzzlefusion_plusplus_tpu.models.vqvae import MaskedBatchNorm
+
         orig = x.shape
         x = x.reshape(-1, orig[-1])
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        w = None if weights is None else weights.reshape(-1)
+        # name pins the param/stat tree to the previous nn.BatchNorm auto-name, keeping
+        # existing checkpoints loadable (weights=None is numerically identical)
+        x = MaskedBatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="BatchNorm_0"
+        )(x, w)
         return x.reshape(orig)
 
 

@@ -100,8 +100,8 @@ class JigsawModel(nn.Module):
             self.pc_feat_dim, self.tf_num_heads, name="tf_cross1"
         )(feats, attn_mask)
 
-        # fracture-point classifier: BN -> ReLU -> 1x1 conv
-        h = BatchNormPoints(name="cls_bn")(feats, train)
+        # fracture-point classifier: BN -> ReLU -> 1x1 conv (stats over valid points only)
+        h = BatchNormPoints(name="cls_bn")(feats, train, weights=valid.astype(jnp.float32))
         if self.cls_method == "binary":
             cls_logits = nn.Dense(1, name="cls_head")(nn.relu(h))[..., 0]  # [B, N]
             cls_pred = (jax.nn.sigmoid(cls_logits) > 0.5) & valid
@@ -123,8 +123,13 @@ class JigsawModel(nn.Module):
         )
         crit_pid = jnp.where(slot_valid, crit_pid[..., 0].astype(jnp.int32), n_valid[:, None])
 
-        # affinity extractor: BN -> ReLU -> 1x1 conv to aff_feat_dim, halves L2-normalized
-        a = BatchNormPoints(name="aff_bn")(crit_feats, train)
+        # affinity extractor: BN -> ReLU -> 1x1 conv to aff_feat_dim, halves L2-normalized.
+        # compact_critical permutes NON-critical points to the tail slots — the reference
+        # runs this BN on the ragged critical-only buffer, so train-mode statistics must
+        # zero-weight the tail (slot_valid), not average 80-90% non-critical features in
+        a = BatchNormPoints(name="aff_bn")(
+            crit_feats, train, weights=slot_valid.astype(jnp.float32)
+        )
         a = nn.Dense(self.aff_feat_dim, name="aff_head")(nn.relu(a))
         hd = self.aff_feat_dim // 2
         a = jnp.concatenate(
@@ -176,9 +181,10 @@ def gt_permutation(
     return perm * cross_mask.astype(jnp.float32)
 
 
-def permutation_loss(ds_mat, gt_perm, cross_mask, n_rows):
+def permutation_loss(ds_mat, gt_perm, n_rows):
     """Masked BCE between doubly-stochastic prediction and GT permutation
-    (utils/loss.py:26-56: sum over valid entries / sum of row counts)."""
+    (utils/loss.py:26-56: sum over the full valid square — incl. same-piece zero entries,
+    matching the reference — / sum of row counts)."""
     p = jnp.clip(ds_mat, 1e-7, 1.0 - 1e-7)
     bce = -(gt_perm * jnp.log(p) + (1.0 - gt_perm) * jnp.log(1.0 - p))
     # the reference sums BCE over the full [n_r, n_r] valid square, incl. same-piece zeros
@@ -199,39 +205,47 @@ def rigid_loss_pairs(
     i's critical points onto piece j's using the match sub-matrix as soft correspondences, and
     penalize the weighted residual between aligned src and mat-projected tgt."""
     B, Nc, _ = crit_pts.shape
-
-    def pair_loss(b_mat, b_pts, b_pid, b_slot, i, j):
-        src_m = (b_pid == i) & b_slot  # [Nc]
-        tgt_m = (b_pid == j) & b_slot
-        # mat = sub(i, j) + sub(j, i)^T, matching the reference's symmetrization
-        m = (
-            b_mat * src_m[:, None] * tgt_m[None, :]
-            + (b_mat * tgt_m[:, None] * src_m[None, :]).T
-        )  # [Nc, Nc] nonzero only at (src rows, tgt cols)
-        w_row = m.sum(1)  # weight per src point
-        # weighted Horn on the soft correspondences: src point -> weighted avg of tgt points
-        tgt_soft = m @ b_pts  # [Nc, 3] (scaled by row weights)
-        denom = jnp.maximum(w_row[:, None], 1e-9)
-        # the reference solves the alignment on the DETACHED match matrix (loss.py:92-116);
-        # gradients flow only through the residual's mat terms
-        r, t = weighted_horn(
-            b_pts,
-            jax.lax.stop_gradient(tgt_soft / denom),
-            jax.lax.stop_gradient(w_row),
-        )
-        r, t = jax.lax.stop_gradient(r), jax.lax.stop_gradient(t)
-        aligned = (b_pts @ r.T + t) * w_row[:, None]
-        resid = ((aligned - tgt_soft) ** 2).sum()
-        n_pts = jnp.maximum(src_m.sum(), 1)
-        mat_s = m.sum()
-        return resid * mat_s, n_pts * (mat_s > 0)
-
     ii, jj = jnp.triu_indices(max_parts, k=1)
 
     def per_batch(b_mat, b_pts, b_pid, b_slot):
-        losses, counts = jax.vmap(
-            lambda i, j: pair_loss(b_mat, b_pts, b_pid, b_slot, i, j)
-        )(ii, jj)
+        # Factored pair quantities — NEVER materialize the per-pair [Nc, Nc] match matrix
+        # (vmapping that over C(P,2) pairs is [190, 5000, 5000] ≈ 19 GB at reference scale).
+        # For pair (i, j), m = b_mat⊙(src_i⊗tgt_j) + (b_mat⊙(tgt_j⊗src_i))^T reduces to,
+        # with A = b_mat + b_mat^T and O the slot-masked piece one-hot:
+        #   row sums   w_row    = src_i ⊙ (A @ tgt_j)          = O[:, i] ⊙ WW[:, j]
+        #   m @ pts    tgt_soft = src_i[:, None] ⊙ (A @ (tgt_j[:, None] * pts)) = O[:,i]⊙Z[:,j]
+        #   m.sum()    mat_s    = src_i @ A @ tgt_j            = G[i, j]
+        # so every pair shares the same three [Nc, ·] products below.
+        O = jax.nn.one_hot(b_pid, max_parts, dtype=b_mat.dtype) * b_slot[
+            :, None
+        ].astype(b_mat.dtype)  # [Nc, P]
+        A = b_mat + b_mat.T
+        WW = A @ O  # [Nc, P]
+        Z = (A @ (O[:, :, None] * b_pts[:, None, :]).reshape(Nc, -1)).reshape(
+            Nc, max_parts, 3
+        )  # [Nc, P, 3]
+        G = O.T @ WW  # [P, P]
+
+        def pair_loss(i, j):
+            src_m = O[:, i]
+            w_row = src_m * WW[:, j]  # weight per src point
+            tgt_soft = src_m[:, None] * Z[:, j, :]  # [Nc, 3] (scaled by row weights)
+            denom = jnp.maximum(w_row[:, None], 1e-9)
+            # the reference solves the alignment on the DETACHED match matrix
+            # (loss.py:92-116); gradients flow only through the residual's mat terms
+            r, t = weighted_horn(
+                b_pts,
+                jax.lax.stop_gradient(tgt_soft / denom),
+                jax.lax.stop_gradient(w_row),
+            )
+            r, t = jax.lax.stop_gradient(r), jax.lax.stop_gradient(t)
+            aligned = (b_pts @ r.T + t) * w_row[:, None]
+            resid = ((aligned - tgt_soft) ** 2).sum()
+            n_pts = jnp.maximum(src_m.sum(), 1.0)
+            mat_s = G[i, j]
+            return resid * mat_s, n_pts * (mat_s > 0)
+
+        losses, counts = jax.vmap(pair_loss)(ii, jj)
         return losses.sum(), counts.sum()
 
     losses, counts = jax.vmap(per_batch)(ds_mat, crit_pts, crit_pid, slot_valid)

@@ -22,14 +22,18 @@ from puzzlefusion_plusplus_tpu.matching.dataset import AllPieceMatchingDataset
 from puzzlefusion_plusplus_tpu.matching.model import (
     JigsawModel,
     gt_permutation,
+    hungarian_perm,
+    matching_f1,
     permutation_loss,
     rigid_loss_pairs,
 )
 from puzzlefusion_plusplus_tpu.training.state import (
     MetricsLogger,
+    TopKCheckpointer,
     TrainState,
     create_state,
     jitted_init,
+    maybe_restore,
     save_checkpoint,
 )
 from puzzlefusion_plusplus_tpu.training.verifier import binary_cls_metrics
@@ -77,14 +81,15 @@ def loss_fn(params, batch_stats, model, batch, w_mat, w_rig, train, rng):
     gt_perm = gt_permutation(
         jnp.where(slot_valid[..., None], gt_crit, 1e3), cross
     )
-    mat_loss = permutation_loss(out["ds_mat"], gt_perm, cross, out["n_critical_sum"])
+    mat_loss = permutation_loss(out["ds_mat"], gt_perm, out["n_critical_sum"])
     metrics["mat_loss"] = mat_loss
-    rig_loss = jnp.where(
-        w_rig > 0,
-        rigid_loss_pairs(out["ds_mat"], pts_crit, out["crit_pid"], slot_valid,
-                         batch["part_valids"].shape[-1]),
-        0.0,
-    )
+    # STATIC gate: w_rig is a Python float (static jit arg) — a traced jnp.where would
+    # execute the rigid loss (forward AND backward) from epoch 0, long before rig_epoch
+    if w_rig > 0:
+        rig_loss = rigid_loss_pairs(out["ds_mat"], pts_crit, out["crit_pid"], slot_valid,
+                                    batch["part_valids"].shape[-1])
+    else:
+        rig_loss = jnp.zeros(())
     metrics["rig_loss"] = rig_loss
     total = cls_loss + w_mat * mat_loss + w_rig * rig_loss
     metrics["loss"] = total
@@ -92,7 +97,11 @@ def loss_fn(params, batch_stats, model, batch, w_mat, w_rig, train, rng):
     return total, (metrics, new_stats, out, gt_perm, cross)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "tx"), donate_argnames=("state",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "tx", "w_mat", "w_rig"),  # one specialization per loss stage
+    donate_argnames=("state",),
+)
 def train_step(state: TrainState, batch, w_mat, w_rig, rng, model, tx):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     (_, (metrics, new_stats, *_)), grads = grad_fn(
@@ -105,6 +114,18 @@ def train_step(state: TrainState, batch, w_mat, w_rig, rng, model, tx):
 
 def numeric_batch(batch):
     return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def eval_step(params, batch_stats, batch, rng, model):
+    """Validation metrics incl. Hungarian-discretized matching F1 (the reference's
+    val/mat_f1 monitor, Jigsaw_matching/train_matching.py:41-49)."""
+    _, (metrics, _, out, gt_perm, cross) = loss_fn(
+        params, batch_stats, model, batch, 1.0, 0.0, False, rng
+    )
+    perm = hungarian_perm(out["ds_mat"], out["n_critical_sum"])
+    metrics.update(matching_f1(perm.astype(jnp.float32), gt_perm, cross))
+    return metrics
 
 
 def train_matching(
@@ -120,10 +141,20 @@ def train_matching(
     max_steps: int | None = None,
     model: JigsawModel | None = None,
     max_num_part: int = 20,
+    val_data_dir: str | None = None,
+    val_every: int = 50,
+    top_k: int = 10,
 ) -> TrainState:
     model = model or make_model()
     ds = AllPieceMatchingDataset(data_dir, num_points=num_points, max_num_part=max_num_part)
     loader = Loader(ds, batch_size, seed=seed)
+    val_loader = None
+    if val_data_dir is not None:
+        val_loader = Loader(
+            AllPieceMatchingDataset(val_data_dir, num_points=num_points,
+                                    max_num_part=max_num_part),
+            batch_size, shuffle=False, drop_last=False, seed=seed,
+        )
     steps_per_epoch = max(len(loader), 1)
     schedule = optax.cosine_decay_schedule(lr, epochs * steps_per_epoch)
     tx = optax.adam(schedule)
@@ -139,16 +170,20 @@ def train_matching(
     )
     state = create_state(variables, tx)
     logger = MetricsLogger(out_dir)
-
-    step = 0
-    for epoch in range(epochs):
+    # top-k retention on val mat_f1 + auto-resume (reference ModelCheckpoint top-10 on
+    # val/mat_f1 + resume rule, Jigsaw_matching/train_matching.py:41-49, 77-101)
+    topk = TopKCheckpointer(f"{out_dir}/ckpt", monitor="mat_f1", mode="max", top_k=top_k)
+    state = maybe_restore(state, f"{out_dir}/ckpt")
+    step = int(state.step)
+    start_epoch = min(step // max(len(loader), 1), epochs)
+    for epoch in range(start_epoch, epochs):
         w_mat = 1.0 if epoch >= mat_epoch else 0.0
         w_rig = 1.0 if epoch >= rig_epoch else 0.0
         for batch in loader:
             rng, k = jax.random.split(rng)
             state, metrics = train_step(
                 state, {k2: jnp.asarray(v) for k2, v in numeric_batch(batch).items()},
-                jnp.asarray(w_mat), jnp.asarray(w_rig), k, model, tx,
+                w_mat, w_rig, k, model, tx,
             )
             if step % 20 == 0:
                 logger.log(step, epoch=epoch, **jax.device_get(metrics))
@@ -156,8 +191,22 @@ def train_matching(
             if max_steps is not None and step >= max_steps:
                 save_checkpoint(f"{out_dir}/ckpt", state, step)
                 return state
-        if (epoch + 1) % 50 == 0 or epoch + 1 == epochs:
-            save_checkpoint(f"{out_dir}/ckpt", state, step)
+        if (epoch + 1) % val_every == 0 or epoch + 1 == epochs:
+            if val_loader is not None:
+                accs = []
+                for vb in val_loader:
+                    rng, k = jax.random.split(rng)
+                    m = jax.device_get(eval_step(
+                        state.params, state.batch_stats,
+                        {k2: jnp.asarray(v) for k2, v in numeric_batch(vb).items()},
+                        k, model,
+                    ))
+                    accs.append({k2: float(np.mean(v)) for k2, v in m.items()})
+                agg = {k2: float(np.mean([a[k2] for a in accs])) for k2 in accs[0]}
+                logger.log(step, epoch=epoch, **{f"val_{k2}": v for k2, v in agg.items()})
+                topk.save(state, step, agg["mat_f1"])
+            else:
+                save_checkpoint(f"{out_dir}/ckpt", state, step)
     return state
 
 

@@ -77,7 +77,9 @@ cfg.data.val_batch_size = 16
 cfg.denoiser.train_on_inference_timesteps = True
 steps_per_epoch = max(N_TRAIN // cfg.data.batch_size, 1)
 cfg.denoiser.epochs = -(-STEPS_DN // steps_per_epoch)
-cfg.denoiser.val_every = max(cfg.denoiser.epochs // 20, 1)
+# denser val cadence: each val checkpoints the run, which bounds the work lost when the
+# axon tunnel's per-dispatch host leak OOMs the process (supervisor relaunch + auto-resume)
+cfg.denoiser.val_every = max(cfg.denoiser.epochs // 40, 1)
 tden.train(cfg)
 
 # ---- stage 3

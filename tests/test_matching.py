@@ -218,3 +218,88 @@ def test_matching_training_step(tmp_path):
         max_num_part=4,
     )
     assert int(state.step) == 2
+
+
+def test_horn_numpy_matches_weighted_horn():
+    """The host Kabsch used by offline RANSAC (matching/generate.py::_horn_numpy) must
+    agree with the jax weighted_horn solver on weighted problems."""
+    from puzzlefusion_plusplus_tpu.matching.generate import _horn_numpy
+    from scipy.spatial.transform import Rotation as R
+
+    rng = np.random.default_rng(11)
+    src = rng.normal(size=(64, 3))
+    r_true = R.from_rotvec(rng.normal(size=3)).as_matrix()
+    tgt = src @ r_true.T + np.array([0.3, -0.1, 0.2])
+    w = rng.uniform(0.1, 1.0, size=64)
+    r_np, t_np = _horn_numpy(src, tgt, w)
+    r_jx, t_jx = weighted_horn(jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(w))
+    np.testing.assert_allclose(r_np, np.asarray(r_jx), atol=1e-5)
+    np.testing.assert_allclose(t_np, np.asarray(t_jx), atol=1e-5)
+    np.testing.assert_allclose(r_np, r_true, atol=1e-6)
+
+
+def test_rigid_loss_pairs_matches_dense_reference():
+    """The factored rigid loss (no per-pair [Nc, Nc] matrices) must reproduce the dense
+    per-pair formulation it replaced (round-2 review: the dense form vmapped to
+    [190, 5000, 5000] and OOMed at reference scale)."""
+    from puzzlefusion_plusplus_tpu.matching.model import rigid_loss_pairs
+
+    rng = np.random.default_rng(5)
+    B, Nc, P = 2, 48, 4
+    ds_mat = jnp.asarray(jax.nn.softmax(rng.normal(size=(B, Nc, Nc)), axis=-1))
+    pts = jnp.asarray(rng.normal(size=(B, Nc, 3)), jnp.float32)
+    pid = jnp.asarray(rng.integers(0, P, size=(B, Nc)))
+    slot = jnp.asarray(rng.uniform(size=(B, Nc)) < 0.8)
+
+    def dense(ds_mat, pts, pid, slot):  # the pre-refactor formulation
+        from puzzlefusion_plusplus_tpu.matching.alignment import weighted_horn as wh
+        total, count = 0.0, 0.0
+        for b in range(B):
+            for i in range(P):
+                for j in range(i + 1, P):
+                    src_m = np.asarray((pid[b] == i) & slot[b])
+                    tgt_m = np.asarray((pid[b] == j) & slot[b])
+                    m = (np.asarray(ds_mat[b]) * src_m[:, None] * tgt_m[None, :]
+                         + (np.asarray(ds_mat[b]) * tgt_m[:, None] * src_m[None, :]).T)
+                    w_row = m.sum(1)
+                    tgt_soft = m @ np.asarray(pts[b])
+                    denom = np.maximum(w_row[:, None], 1e-9)
+                    r, t = wh(pts[b], jnp.asarray(tgt_soft / denom), jnp.asarray(w_row))
+                    aligned = (np.asarray(pts[b]) @ np.asarray(r).T + np.asarray(t)) * w_row[:, None]
+                    resid = ((aligned - tgt_soft) ** 2).sum()
+                    total += resid * m.sum()
+                    count += max(src_m.sum(), 1) * (m.sum() > 0)
+        return total / max(count, 1.0)
+
+    got = float(rigid_loss_pairs(ds_mat, pts, pid, slot, P))
+    want = dense(ds_mat, pts, pid, slot)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_matching_val_topk_retention(tmp_path):
+    """val_data_dir wires Hungarian-F1 validation + top-k retention on mat_f1 (reference
+    ModelCheckpoint top-10 on val/mat_f1, train_matching.py:41-49) and auto-resume."""
+    import os
+
+    from puzzlefusion_plusplus_tpu.data import generate_dataset
+    from puzzlefusion_plusplus_tpu.matching.train import make_model, train_matching
+
+    root = str(tmp_path)
+    generate_dataset(root, num_shapes=2, seed=0, split="train", min_parts=2, max_parts=3,
+                     with_matching=False, with_verifier=False)
+    generate_dataset(root, num_shapes=1, seed=1, split="val", min_parts=2, max_parts=3,
+                     with_matching=False, with_verifier=False)
+    model = make_model(pc_feat_dim=32, aff_feat_dim=16, sa_npoints=(32, 16, 8, 4))
+    kw = dict(out_dir=root + "/out", batch_size=1, num_points=160, mat_epoch=0,
+              rig_epoch=99, model=model, max_num_part=4,
+              val_data_dir=root + "/pc_data/val", val_every=1)
+    state = train_matching(root + "/pc_data/train", epochs=1, **kw)
+    ckpt = root + "/out/ckpt"
+    assert os.path.exists(os.path.join(ckpt, "topk.json"))
+    steps1 = {d for d in os.listdir(ckpt) if d.startswith("step_")}
+    assert steps1
+    # resume: second call continues the step counter instead of re-training epoch 0
+    state2 = train_matching(root + "/pc_data/train", epochs=2, **kw)
+    assert int(state2.step) > int(state.step)
+    steps2 = {d for d in os.listdir(ckpt) if d.startswith("step_")}
+    assert steps1 <= steps2 or len(steps2) >= len(steps1)  # no silent overwrite of retained
