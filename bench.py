@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 if "--help" in sys.argv or "-h" in sys.argv:
     # cheap smoke path (tests/test_graft_entry.py): no jax import, no device touch
     print(__doc__)
-    print("usage: bench.py [--cpu-baseline]  # env: PFPP_BENCH_BATCH, PFPP_BENCH_REPEATS,"
-          " PFPP_BENCH_DATA, PFPP_BENCH_PRECISION")
+    print("usage: bench.py [--cpu-baseline|--serving]  # env: PFPP_BENCH_BATCH,"
+          " PFPP_BENCH_REPEATS, PFPP_BENCH_DATA, PFPP_BENCH_PRECISION")
     sys.exit(0)
 
 import jax
@@ -64,6 +64,67 @@ def _ensure_data() -> None:
     generate_dataset(DATA_DIR, num_shapes=NUM_BENCH_SHAPES, seed=7, split="val",
                      min_parts=3, max_parts=12)
     open(marker, "w").write("ok")
+
+
+def serving_main() -> None:
+    """--serving: throughput over the FULL heterogeneous bench set via the production
+    serving policy (inference/run.py): part-count-sorted batches, each sliced to its own
+    bucket pad — under-filled pads get much cheaper XLA specializations than the default
+    metric's single max-pad batch. Timing excludes compile (one warm pass per distinct pad)."""
+    _ensure_data()
+
+    from puzzlefusion_plusplus_tpu.data.bucketing import part_bucket, slice_batch_parts
+    from puzzlefusion_plusplus_tpu.data.datasets import DenoiserDataset
+    from puzzlefusion_plusplus_tpu.data.loader import Loader
+    from puzzlefusion_plusplus_tpu.inference.run import SAMPLE_KEYS, build_engine_fn
+    from puzzlefusion_plusplus_tpu.utils.config import Config
+
+    cfg = Config()
+    cfg.data.data_val_dir = os.path.join(DATA_DIR, "pc_data", "val")
+    cfg.data.matching_data_path = os.path.join(DATA_DIR, "matching_data")
+    cfg.trainer.precision = os.environ.get("PFPP_BENCH_PRECISION", cfg.trainer.precision)
+    cfg.inference.batch_size = BATCH
+
+    ds = DenoiserDataset(cfg.data.data_val_dir, mode="test",
+                         matching_data_path=cfg.data.matching_data_path,
+                         max_num_part=cfg.data.max_num_part)
+    order = np.argsort(ds.num_parts_list(), kind="stable")
+    loader = Loader(ds, BATCH, shuffle=False, drop_last=False, seed=0, order=order)
+    engine = build_engine_fn(cfg)
+
+    batches = []
+    for batch in loader:
+        P_b = part_bucket(int(np.max(batch["num_parts"])), cap=cfg.data.max_num_part)
+        batch = slice_batch_parts(batch, P_b)
+        batches.append({k: jnp.asarray(batch[k]) for k in SAMPLE_KEYS})
+    pads = sorted({int(b["part_pcs"].shape[1]) for b in batches})
+
+    t0 = time.time()
+    for b in batches:  # warm/compile every distinct-pad specialization
+        rngs = jax.random.split(jax.random.key(0), b["part_pcs"].shape[0])
+        jax.block_until_ready(engine(b, rngs))
+    warm_s = time.time() - t0
+
+    times = []
+    for r in range(REPEATS):
+        t0 = time.time()
+        n = 0
+        for b in batches:
+            rngs = jax.random.split(jax.random.key(r + 1), b["part_pcs"].shape[0])
+            jax.block_until_ready(engine(b, rngs))
+            n += b["part_pcs"].shape[0]
+        times.append(time.time() - t0)
+
+    value = n / min(times)
+    print(json.dumps({
+        "metric": "serving_assemblies_per_sec_full_set",
+        "value": round(value, 4),
+        "unit": "assemblies/s",
+        "vs_baseline": round(value / REFERENCE_CPU_ASSEMBLIES_PER_SEC, 2),
+        "extra": {"backend": jax.default_backend(), "n_shapes": n, "batch": BATCH,
+                  "pads": pads, "precision": cfg.trainer.precision,
+                  "warm_s": round(warm_s, 1), "runs_s": [round(t, 3) for t in times]},
+    }))
 
 
 def main() -> None:
@@ -151,4 +212,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--serving" in sys.argv:
+        serving_main()
+    else:
+        main()
