@@ -49,7 +49,8 @@ REFERENCE_CPU_ASSEMBLIES_PER_SEC = 0.0032
 
 DATA_DIR = os.environ.get("PFPP_BENCH_DATA", "/tmp/pfpp_bench_data")
 BATCH = int(os.environ.get("PFPP_BENCH_BATCH", "8"))  # measured sweet spot: b8 1.43/s, b16 1.29/s, b32 OOMs HBM
-REPEATS = int(os.environ.get("PFPP_BENCH_REPEATS", "3"))
+# at least one timed repeat: 0 would leave the times list empty and the min() below unbound
+REPEATS = max(1, int(os.environ.get("PFPP_BENCH_REPEATS", "3")))
 
 
 NUM_BENCH_SHAPES = 32
@@ -70,7 +71,8 @@ def serving_main() -> None:
     """--serving: throughput over the FULL heterogeneous bench set via the production
     serving policy (inference/run.py): part-count-sorted batches, each sliced to its own
     bucket pad — under-filled pads get much cheaper XLA specializations than the default
-    metric's single max-pad batch. Timing excludes compile (one warm pass per distinct pad)."""
+    metric's single max-pad batch. Timing excludes compile (one warm pass per distinct
+    (batch_size, part_pad) specialization)."""
     _ensure_data()
 
     from puzzlefusion_plusplus_tpu.data.bucketing import part_bucket, slice_batch_parts
@@ -94,13 +96,24 @@ def serving_main() -> None:
 
     batches = []
     for batch in loader:
-        P_b = part_bucket(int(np.max(batch["num_parts"])), cap=cfg.data.max_num_part)
+        # use the production serving policy's own bucket multiple (inference/run.py) so the
+        # metric cannot drift from what run_inference actually serves
+        P_b = part_bucket(int(np.max(batch["num_parts"])),
+                          cfg.inference.part_bucket_multiple or 4,
+                          cap=cfg.data.max_num_part)
         batch = slice_batch_parts(batch, P_b)
         batches.append({k: jnp.asarray(batch[k]) for k in SAMPLE_KEYS})
-    pads = sorted({int(b["part_pcs"].shape[1]) for b in batches})
+    # XLA specializes per (batch_size, part_pad): a trailing partial batch is its own program
+    pads = sorted({(int(b["part_pcs"].shape[0]), int(b["part_pcs"].shape[1]))
+                   for b in batches})
 
     t0 = time.time()
-    for b in batches:  # warm/compile every distinct-pad specialization
+    warmed = set()
+    for b in batches:  # compile each distinct (batch_size, pad) specialization exactly once
+        key = (int(b["part_pcs"].shape[0]), int(b["part_pcs"].shape[1]))
+        if key in warmed:
+            continue
+        warmed.add(key)
         rngs = jax.random.split(jax.random.key(0), b["part_pcs"].shape[0])
         jax.block_until_ready(engine(b, rngs))
     warm_s = time.time() - t0
