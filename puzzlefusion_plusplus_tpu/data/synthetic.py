@@ -13,9 +13,18 @@ consumes:
   * ``verifier_data`` files (verifier/dataset/dataset.py:50-53): cls_gt [E], edge_features
     [E, 6] CD-histogram counts, edge_indices [E, 2].
 
-Fracture model: a dense solid point cloud (ellipsoid / box / cylinder) partitioned into Voronoi
-cells around jittered seed points — fragments share true contact surfaces, so fracture-surface
-correspondences and chamfer-histogram verifier features behave like the real data.
+Fracture model (round 3, Breaking-Bad realism): real pc_data samples the SURFACE of each
+mesh fragment (reference generate_pc_data.py:11-47 area-weighted triangle sampling), so each
+fragment cloud is a hollow shell: a patch of the object's outer surface plus one irregular
+fracture face per contact. We reproduce that with a noisy power diagram: random solids
+(ellipsoid / box / cylinder) are partitioned by cells ``F_i(x) = ||x - s_i|| - r_i + n_i(x)``
+where ``n_i`` is a band-limited random field — the ``n_i`` displacement makes fracture
+surfaces wavy and non-convex (like physical fragmentation), ``r_i`` biases fragment sizes.
+Fragment clouds are assembled from (a) outer-surface samples assigned by argmin F and
+(b) interface samples (volume points where the two smallest cell fields nearly tie), split
+randomly between the two touching fragments — fragments share true, irregular contact
+surfaces, so fracture-surface correspondences and chamfer-histogram verifier features behave
+like the real data. Adjacency comes from interface point counts.
 """
 
 from __future__ import annotations
@@ -28,22 +37,98 @@ import numpy as np
 CD_BIN_EDGES = np.array([0.0, 1e-3, 5e-3, 1e-2, 5e-2, 1e-1, 100.0])
 
 
-def _sample_solid(rng: np.random.Generator, n: int) -> np.ndarray:
-    """Dense points filling a random solid, max extent ~[-0.5, 0.5]."""
-    kind = rng.integers(0, 3)
-    pts = rng.uniform(-0.5, 0.5, size=(int(n * 2.2), 3))
+def _make_solid(rng: np.random.Generator) -> dict:
+    """A random solid with an inside() predicate and an outer-surface sampler.
+
+    Max extent ~[-0.5, 0.5] (matches the reference's normalized-object scale)."""
+    kind = int(rng.integers(0, 3))
     if kind == 0:  # ellipsoid
         radii = rng.uniform(0.25, 0.5, size=3)
-        pts = pts[np.sum((pts / radii) ** 2, axis=1) <= 1.0]
+
+        def inside(x):
+            return np.sum((x / radii) ** 2, axis=-1) <= 1.0
+
+        def sample_surface(n, r):
+            u = r.normal(size=(n, 3))
+            u /= np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-9)
+            return (u * radii).astype(np.float64)
+
     elif kind == 1:  # box
         half = rng.uniform(0.2, 0.5, size=3)
-        pts = pts * (2.0 * half)
+
+        def inside(x):
+            return np.all(np.abs(x) <= half, axis=-1)
+
+        def sample_surface(n, r):
+            areas = np.array([half[1] * half[2], half[0] * half[2], half[0] * half[1]])
+            face_axis = r.choice(3, size=n, p=areas / areas.sum())
+            sign = r.choice([-1.0, 1.0], size=n)
+            pts = r.uniform(-1.0, 1.0, size=(n, 3)) * half
+            pts[np.arange(n), face_axis] = sign * half[face_axis]
+            return pts
+
     else:  # cylinder along z
-        r = rng.uniform(0.2, 0.45)
+        rad = rng.uniform(0.2, 0.45)
         h = rng.uniform(0.25, 0.5)
-        keep = (pts[:, 0] ** 2 + pts[:, 1] ** 2 <= r * r) & (np.abs(pts[:, 2]) <= h)
-        pts = pts[keep]
-    return pts[:n] if len(pts) >= n else np.concatenate([pts, pts[: n - len(pts)]])
+
+        def inside(x):
+            return (x[..., 0] ** 2 + x[..., 1] ** 2 <= rad * rad) & (
+                np.abs(x[..., 2]) <= h
+            )
+
+        def sample_surface(n, r):
+            a_side = 2 * np.pi * rad * 2 * h
+            a_caps = 2 * np.pi * rad * rad
+            n_side = int(n * a_side / (a_side + a_caps))
+            theta = r.uniform(0, 2 * np.pi, size=n)
+            pts = np.empty((n, 3))
+            pts[:n_side, 0] = rad * np.cos(theta[:n_side])
+            pts[:n_side, 1] = rad * np.sin(theta[:n_side])
+            pts[:n_side, 2] = r.uniform(-h, h, size=n_side)
+            n_cap = n - n_side
+            rr = rad * np.sqrt(r.uniform(0, 1, size=n_cap))
+            pts[n_side:, 0] = rr * np.cos(theta[n_side:])
+            pts[n_side:, 1] = rr * np.sin(theta[n_side:])
+            pts[n_side:, 2] = r.choice([-h, h], size=n_cap)
+            return pts
+
+    return {"inside": inside, "sample_surface": sample_surface}
+
+
+def _sample_volume(solid: dict, rng: np.random.Generator, n: int) -> np.ndarray:
+    """n uniform points inside the solid (rejection from the bounding box)."""
+    out = []
+    got = 0
+    while got < n:
+        cand = rng.uniform(-0.5, 0.5, size=(int(n * 2.5), 3))
+        cand = cand[solid["inside"](cand)]
+        out.append(cand)
+        got += len(cand)
+    return np.concatenate(out, axis=0)[:n]
+
+
+def _cell_fields(
+    rng: np.random.Generator, num_parts: int, n_waves: int = 4,
+    noise_amp: tuple = (0.015, 0.05), size_bias: float = 0.1,
+):
+    """Noisy power-diagram cell fields: returns field(x [n,3], seeds [P,3]) -> [n,P].
+
+    F_i(x) = ||x - s_i|| - r_i + n_i(x) with n_i a sum of random sinusoids (band-limited
+    noise, wavelengths ~0.12-0.5 on the unit-scale solid) — the displacement term carves
+    wavy, non-convex fracture surfaces instead of flat Voronoi bisectors."""
+    P, W = num_parts, n_waves
+    k = rng.uniform(2.0, 8.0, size=(P, W, 3)) * rng.choice([-1.0, 1.0], size=(P, W, 3))
+    phase = rng.uniform(0, 2 * np.pi, size=(P, W))
+    amp = rng.uniform(0.5, 1.0, size=(P, W))
+    amp *= (rng.uniform(*noise_amp, size=(P, 1))) / amp.sum(axis=1, keepdims=True)
+    r_i = rng.uniform(0.0, size_bias, size=P)
+
+    def field(x, seeds):
+        d = np.linalg.norm(x[:, None, :] - seeds[None], axis=-1)  # [n, P]
+        ph = 2 * np.pi * np.einsum("nd,pwd->npw", x, k) + phase[None]
+        return d - r_i[None] + np.einsum("pw,npw->np", amp, np.sin(ph))
+
+    return field
 
 
 def _resample(pts: np.ndarray, n: int, rng: np.random.Generator) -> np.ndarray:
@@ -55,35 +140,71 @@ def fracture_shape(
     rng: np.random.Generator,
     num_parts: int,
     n_points: int = 1000,
-    n_dense: int = 20000,
+    n_dense: int = 40000,
+    interface_tau: float = 0.025,
 ) -> dict:
-    """Voronoi-fracture a random solid into ``num_parts`` fragments.
+    """Fracture a random solid into ``num_parts`` hollow surface-sampled fragments.
 
-    Returns dense per-fragment point sets + adjacency graph + reference part (largest extent, as
-    in reference vqvae/dataset/dataset.py:200-204).
-    """
-    for _ in range(20):  # rejection loop: every fragment must have enough dense points
-        dense = _sample_solid(rng, n_dense)
-        seeds = dense[rng.choice(len(dense), num_parts, replace=False)]
-        seeds = seeds + rng.normal(0, 0.02, seeds.shape)
-        d = np.linalg.norm(dense[:, None, :] - seeds[None], axis=-1)  # [n, P]
-        label = np.argmin(d, axis=1)
-        counts = np.bincount(label, minlength=num_parts)
-        if counts.min() >= max(60, n_points // 10):
-            break
-    dense_parts = [dense[label == i] for i in range(num_parts)]
+    Returns per-fragment surface point pools + adjacency graph + reference part (largest
+    extent, as in reference vqvae/dataset/dataset.py:200-204). Fragment pools mix outer-shell
+    samples with fracture-interface samples (|F_(2) - F_(1)| < tau slab, randomly split
+    between the two touching cells) — the hollow-shell point distribution the real
+    area-weighted mesh sampling produces (generate_pc_data.py:11-47)."""
+    n_shell = max(4000, n_dense * 3 // 20)
+    min_pool = max(60, n_points // 10)
+    for _ in range(30):  # rejection: every fragment needs enough points + connected graph
+        solid = _make_solid(rng)
+        vol = _sample_volume(solid, rng, n_dense)
+        seeds = vol[rng.choice(len(vol), num_parts, replace=False)]
+        field = _cell_fields(rng, num_parts)
+        shell = solid["sample_surface"](n_shell, rng)
 
-    # adjacency: fragments whose dense sets come within the typical sampling spacing
-    spacing = 1.0 / (n_dense ** (1.0 / 3.0)) * 3.0
-    graph = np.zeros((num_parts, num_parts), dtype=bool)
-    for i in range(num_parts):
-        for j in range(i + 1, num_parts):
-            a = dense_parts[i][:: max(1, len(dense_parts[i]) // 400)]
-            b = dense_parts[j][:: max(1, len(dense_parts[j]) // 400)]
-            mind = np.min(
-                np.linalg.norm(a[:, None, :] - b[None], axis=-1)
+        f_vol = field(vol, seeds)  # [n_dense, P]
+        f_shell = field(shell, seeds)  # [n_shell, P]
+        shell_label = np.argmin(f_shell, axis=1)
+
+        two = np.argpartition(f_vol, 1, axis=1)[:, :2]  # two smallest cell fields
+        f12 = np.take_along_axis(f_vol, two, axis=1)
+        order = np.argsort(f12, axis=1)
+        two = np.take_along_axis(two, order, axis=1)
+        gap = np.abs(f12[:, 1] - f12[:, 0])
+        near = gap < interface_tau  # thin slab around each fracture surface
+        iface_pts = vol[near]
+        iface_pair = np.sort(two[near], axis=1)  # [m, 2] (lo, hi)
+        # split each interface point randomly between its two fragments (each real fragment
+        # carries its own independent sampling of the shared face)
+        side = rng.random(len(iface_pts)) < 0.5
+        iface_label = np.where(side, iface_pair[:, 0], iface_pair[:, 1])
+
+        pools = [
+            np.concatenate([shell[shell_label == i], iface_pts[iface_label == i]], axis=0)
+            for i in range(num_parts)
+        ]
+        counts = np.array([len(p) for p in pools])
+
+        # adjacency from interface point counts (a real shared fracture face)
+        graph = np.zeros((num_parts, num_parts), dtype=bool)
+        if len(iface_pair):
+            pair_ids, pair_counts = np.unique(
+                iface_pair[:, 0] * num_parts + iface_pair[:, 1], return_counts=True
             )
-            graph[i, j] = graph[j, i] = mind < spacing
+            for pid, c in zip(pair_ids, pair_counts):
+                if c >= 20:
+                    i, j = divmod(int(pid), num_parts)
+                    graph[i, j] = graph[j, i] = True
+
+        # connectivity check (real fractured objects are connected)
+        seen = {0}
+        frontier = [0]
+        while frontier:
+            i = frontier.pop()
+            for j in np.where(graph[i])[0]:
+                if j not in seen:
+                    seen.add(int(j))
+                    frontier.append(int(j))
+        if counts.min() >= min_pool and len(seen) == num_parts:
+            break
+    dense_parts = pools
 
     part_pcs = np.stack([_resample(p, n_points, rng) for p in dense_parts])  # [P, N, 3]
 
