@@ -264,18 +264,26 @@ def ddpm_sample(
     reference_vals: jnp.ndarray,  # [B, P, 7] poses pinned for ref parts
     rng: jax.Array,
     num_inference_steps: int,
+    noise_seq: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Full reverse loop as lax.scan. Returns (final [B,P,7], trajectory [S,B,P,7])."""
+    """Full reverse loop as lax.scan. Returns (final [B,P,7], trajectory [S,B,P,7]).
 
-    def step_fn(carry, t):
+    ``noise_seq``: optional [S, B, P, 7] pre-drawn per-step variance noise replacing the
+    internal rng draws — lets parity tests inject the exact noise a reference (torch)
+    trajectory consumed (diffusers DDPMScheduler.step draws internally). ``None`` keeps the
+    production rng stream byte-identical to before this parameter existed."""
+
+    def step_fn(carry, xs):
+        t, z_in = xs if noise_seq is not None else (xs, None)
         noisy, rng = carry
         pred_noise = denoise_fn(noisy, jnp.full((noisy.shape[0],), t, jnp.int32))
         rng, k = jax.random.split(rng)
-        z = jax.random.normal(k, noisy.shape, noisy.dtype)
+        z = jax.random.normal(k, noisy.shape, noisy.dtype) if z_in is None else z_in
         noisy = ddpm_step(ddpm, pred_noise, t, noisy, z, num_inference_steps)
         noisy = jnp.where(ref_part[..., None], reference_vals, noisy)
         return (noisy, rng), noisy
 
     init_noisy = jnp.where(ref_part[..., None], reference_vals, init_noisy)
-    (final, _), traj = jax.lax.scan(step_fn, (init_noisy, rng), timesteps)
+    xs = timesteps if noise_seq is None else (timesteps, noise_seq)
+    (final, _), traj = jax.lax.scan(step_fn, (init_noisy, rng), xs)
     return final, traj
