@@ -1,0 +1,215 @@
+"""CPU tests for the mesh-ingestion bridge (data/preprocess.py) and the verifier-data
+generator (data/verifier_gen.py) — VERDICT r2 #7: both were dead/TPU-only code paths.
+
+trimesh is absent from this image by design; a duck-typed StubMesh (vertices / triangles /
+area_faces / extents) + a minimal .obj parser stand in for ``trimesh.load``, so the exact
+code that will run on real Breaking Bad meshes (reference vqvae/dataset/dataset.py:85-126,
+generate_pc_data.py:11-47 semantics) is exercised end-to-end on disk fixtures.
+"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from puzzlefusion_plusplus_tpu.data import preprocess
+from puzzlefusion_plusplus_tpu.data.preprocess import (
+    generate_pc_data,
+    sample_mesh_surface,
+    shared_vertex_graph,
+)
+
+
+class StubMesh:
+    """Duck-typed stand-in for trimesh.Trimesh (vertices/triangles/area_faces/extents)."""
+
+    def __init__(self, vertices, faces):
+        self.vertices = np.asarray(vertices, np.float64)
+        faces = np.asarray(faces, np.int64)
+        self.triangles = self.vertices[faces]  # [F, 3, 3]
+        cross = np.cross(
+            self.triangles[:, 1] - self.triangles[:, 0],
+            self.triangles[:, 2] - self.triangles[:, 0],
+        )
+        self.area_faces = 0.5 * np.linalg.norm(cross, axis=1)
+        self.extents = self.vertices.max(0) - self.vertices.min(0)
+
+
+def _parse_obj(path):
+    verts, faces = [], []
+    with open(path) as fh:
+        for line in fh:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "v":
+                verts.append([float(x) for x in t[1:4]])
+            elif t[0] == "f":
+                faces.append([int(x.split("/")[0]) - 1 for x in t[1:4]])
+    return StubMesh(verts, faces)
+
+
+class _StubTrimeshModule:
+    @staticmethod
+    def load(path, force=None):
+        return _parse_obj(path)
+
+
+BOX_FACES = [
+    (0, 1, 2), (0, 2, 3), (4, 6, 5), (4, 7, 6), (0, 4, 5), (0, 5, 1),
+    (3, 2, 6), (3, 6, 7), (0, 3, 7), (0, 7, 4), (1, 5, 6), (1, 6, 2),
+]
+
+
+def _box_obj(path, lo, hi):
+    lo, hi = np.asarray(lo, float), np.asarray(hi, float)
+    corners = [
+        (lo[0], lo[1], lo[2]), (hi[0], lo[1], lo[2]), (hi[0], hi[1], lo[2]),
+        (lo[0], hi[1], lo[2]), (lo[0], lo[1], hi[2]), (hi[0], lo[1], hi[2]),
+        (hi[0], hi[1], hi[2]), (lo[0], hi[1], hi[2]),
+    ]
+    with open(path, "w") as fh:
+        for c in corners:
+            fh.write(f"v {c[0]} {c[1]} {c[2]}\n")
+        for f in BOX_FACES:
+            fh.write(f"f {f[0] + 1} {f[1] + 1} {f[2] + 1}\n")
+
+
+def test_sample_mesh_surface_area_weighted_on_surface():
+    # two triangles in z=0, areas 0.5 and 2.0 -> sampling fractions 1/5 vs 4/5
+    mesh = StubMesh(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [10, 0, 0], [12, 0, 0], [10, 2, 0]],
+        [[0, 1, 2], [3, 4, 5]],
+    )
+    rng = np.random.default_rng(0)
+    pts = sample_mesh_surface(mesh, 4000, rng)
+    assert pts.shape == (4000, 3) and pts.dtype == np.float32
+    np.testing.assert_allclose(pts[:, 2], 0.0, atol=1e-7)  # on the triangle plane
+    frac_big = np.mean(pts[:, 0] >= 9.0)
+    assert abs(frac_big - 0.8) < 0.03  # area weighting (0.5 vs 2.0)
+    small = pts[pts[:, 0] < 9.0]
+    # barycentric points stay inside the small triangle x+y<=1, x,y>=0
+    assert (small[:, 0] >= -1e-6).all() and (small[:, 1] >= -1e-6).all()
+    assert (small[:, 0] + small[:, 1] <= 1 + 1e-5).all()
+
+
+def test_shared_vertex_graph_adjacency():
+    a = StubMesh([[0, 0, 0], [1, 0, 0], [0, 1, 0]], [[0, 1, 2]])
+    b = StubMesh([[1, 0, 0], [0, 1, 0], [1, 1, 0]], [[0, 1, 2]])  # shares 2 verts with a
+    c = StubMesh([[5, 5, 5], [6, 5, 5], [5, 6, 5]], [[0, 1, 2]])  # isolated
+    g = shared_vertex_graph([a, b, c])
+    assert g[0, 1] and g[1, 0]
+    assert not g[0, 2] and not g[1, 2]
+    assert not g.diagonal().any()
+    # sub-precision jitter still counts as shared (reference 1e-5 rounding)
+    b2 = StubMesh(np.asarray(b.vertices) + 1e-7, [[0, 1, 2]])
+    assert shared_vertex_graph([a, b2])[0, 1]
+
+
+def test_generate_pc_data_end_to_end(tmp_path, monkeypatch):
+    """2-box fracture fixture on disk -> pc_data npz tree -> dataset readers consume it."""
+    mesh_root = tmp_path / "meshes" / "everyday" / "box" / "fractured_0"
+    os.makedirs(mesh_root)
+    _box_obj(mesh_root / "piece_0.obj", [-1, 0, 0], [0, 1, 1])
+    _box_obj(mesh_root / "piece_1.obj", [0, 0, 0], [1.5, 1, 1])  # shares the x=0 face
+    monkeypatch.setattr(preprocess, "_require_trimesh", lambda: _StubTrimeshModule)
+
+    out = str(tmp_path / "pc_data")
+    n = generate_pc_data(str(tmp_path / "meshes"), out, split="train", num_points=256,
+                         max_num_part=5)
+    assert n == 1
+    d = np.load(os.path.join(out, "train", "00000.npz"), allow_pickle=True)
+    assert d["num_parts"] == 2
+    assert d["part_valids"].tolist() == [1, 1, 0, 0, 0]
+    assert d["graph"][0, 1] and d["graph"][1, 0] and not d["graph"][2:].any()
+    assert d["part_pcs_gt"].shape == (5, 256, 3)
+    # ref part = largest extent (vqvae/dataset/dataset.py:200-204): piece_1 spans 1.5
+    assert d["ref_part"].tolist() == [False, True, False, False, False]
+    assert str(d["category"]) == "box"
+    # surface points of piece_0 stay inside its box
+    p0 = d["part_pcs_gt"][0]
+    assert (p0[:, 0] >= -1 - 1e-5).all() and (p0[:, 0] <= 0 + 1e-5).all()
+
+    # the produced tree is consumable by both dataset readers
+    from puzzlefusion_plusplus_tpu.data.datasets import DenoiserDataset, VQVAEDataset
+
+    rng = np.random.default_rng(0)
+    vq = VQVAEDataset(os.path.join(out, "train"), max_num_part=5)
+    s = vq.get(0, rng)
+    assert s["part_pcs"].shape == (5, 256, 3)
+    assert np.abs(s["part_pcs"]).max() <= 1.0 + 1e-6
+    dn = DenoiserDataset(os.path.join(out, "train"), mode="train", max_num_part=5)
+    s = dn.get(0, rng)
+    for k in ("part_pcs", "part_trans", "part_rots", "part_scale", "ref_part"):
+        assert np.isfinite(np.asarray(s[k], np.float32)).all(), k
+
+
+def test_generate_verifier_data_cpu(tmp_path):
+    """data/verifier_gen.py end-to-end on CPU: tiny denoiser sampler -> verifier npz files
+    that VerifierDataset can serve (schema verifier/dataset/dataset.py:50-53)."""
+    import jax.numpy as jnp
+
+    from puzzlefusion_plusplus_tpu.data import generate_dataset
+    from puzzlefusion_plusplus_tpu.data.datasets import VerifierDataset
+    from puzzlefusion_plusplus_tpu.data.verifier_gen import generate_verifier_data
+    from puzzlefusion_plusplus_tpu.models.scheduler import DDPMParams
+    from puzzlefusion_plusplus_tpu.models.vqvae import VQVAE
+    from puzzlefusion_plusplus_tpu.training import denoiser as tden
+    from puzzlefusion_plusplus_tpu.training.state import jitted_init
+    from puzzlefusion_plusplus_tpu.utils.config import Config
+
+    root = str(tmp_path)
+    generate_dataset(root, num_shapes=2, seed=6, split="train", min_parts=3, max_parts=4,
+                     n_points=96, with_verifier=False)
+
+    cfg = Config()
+    cfg.data.max_num_part = 5
+    cfg.data.num_pc_points = 96
+    cfg.denoiser.embed_dim = 32
+    cfg.denoiser.num_layers = 1
+    cfg.denoiser.num_heads = 2
+
+    orig = tden.make_ae_model
+    tden.make_ae_model = lambda cfg: VQVAE(
+        n_embeddings=32, embedding_dim=16, num_point=25, num_dim=64,
+        sa_npoints=(24, 12), sa_nsamples=(8, 8, 8),
+    )
+    try:
+        model = tden.make_model(cfg)
+        encoder = tden.load_frozen_encoder(cfg)
+        ddpm = DDPMParams.piecewise(cfg.denoiser.ddpm_train_steps)
+        sample_fn = tden.make_sample_fn(model, encoder, ddpm,
+                                        cfg.denoiser.num_inference_steps)
+        P, L = cfg.data.max_num_part, cfg.denoiser.num_point
+        variables = jitted_init(
+            model, jax.random.key(0),
+            jnp.zeros((1, P, 7)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, P, L, cfg.denoiser.num_dim)), jnp.zeros((1, P, L, 3)),
+            jnp.ones((1, P)), jnp.ones((1, P, 1)), jnp.zeros((1, P), bool),
+            train=False,
+        )
+        out_dir = root + "/verifier_data"
+        written = generate_verifier_data(
+            sample_fn, variables["params"], root + "/pc_data/train",
+            root + "/matching_data", out_dir, max_num_part=P, rounds=2,
+        )
+        assert written == 4  # 2 shapes x 2 rounds
+        files = sorted(os.listdir(out_dir))
+        assert len(files) == 4
+        for f in files:
+            d = np.load(os.path.join(out_dir, f))
+            E = len(d["cls_gt"])
+            assert E >= 3  # P(P-1)/2 for 3-4 valid parts
+            assert d["edge_features"].shape == (E, 6)
+            assert d["edge_indices"].shape == (E, 2)
+            assert set(np.unique(d["cls_gt"])) <= {0, 1}
+            assert (d["edge_features"] >= 0).all()
+            # histogram counts per edge sum to at most 2*corr_count (fwd+bwd per-point sums)
+            assert np.isfinite(d["edge_features"]).all()
+        vds = VerifierDataset(out_dir, mode="train")
+        s = vds.get(0, np.random.default_rng(0))
+        assert s["edge_features"].shape[1] == 7  # normalized 6 bins + raw count
+        assert np.isfinite(s["edge_features"]).all()
+    finally:
+        tden.make_ae_model = orig
