@@ -433,10 +433,13 @@ def generate_dataset(
     # "identical seed" datasets differ between processes (flaky tests, unreproducible runs)
     rng = np.random.default_rng((seed, zlib.crc32(split.encode())))
     base = 0 if split == "train" else 10_000
+    # dense-volume budget scales with the cloud resolution asked for: test fixtures at
+    # n_points ~100 keep generation fast, production n_points=1000 gets the full 40k
+    n_dense = int(np.clip(n_points * 40, 8000, 40000))
     for s in range(num_shapes):
         data_id = base + s
         num_parts = int(rng.integers(min_parts, max_parts + 1))
-        shape = fracture_shape(rng, num_parts, n_points=n_points)
+        shape = fracture_shape(rng, num_parts, n_points=n_points, n_dense=n_dense)
         np.savez(
             os.path.join(pc_dir, f"{data_id:05d}.npz"), **make_pc_data_npz(shape, data_id)
         )

@@ -172,19 +172,28 @@ def interpenetration_keep_mask(
     normal dot product is negative. Returns keep [P, N] bool."""
     P, N, _ = transformed_pts.shape
 
-    # per-point NN distance from part i's points to every part j, tiled over i to keep the
-    # working set at [N, P, N] instead of [P, P, N, N]
-    sq = jnp.sum(transformed_pts**2, axis=-1)  # [P, N]
+    if jax.default_backend() == "tpu":
+        # masked Pallas kernel: inactive (i, j) grid programs skip their compute entirely,
+        # so a merging iteration pays ~(active pairs)/P^2 of the all-pairs O(P^2 N^2) chain
+        # (typically 1-3 pairs; VERDICT r2 #6) with fully static shapes. Inactive entries
+        # hold a BIG sentinel; `remove` masks by pair_active anyway.
+        from puzzlefusion_plusplus_tpu.ops.chamfer_pallas import masked_pairwise_nn
 
-    def one_part(pts_i):  # [N, 3] -> [P, N] dist of i's point n to nearest in each j
-        d = (
-            jnp.sum(pts_i**2, axis=-1)[None, :, None]
-            - 2.0 * jnp.einsum("nd,jmd->jnm", pts_i, transformed_pts)
-            + sq[:, None, :]
-        )  # [P, N, N]
-        return d.min(axis=2)  # [P, N]
+        nn_fwd = masked_pairwise_nn(transformed_pts, pair_active)  # [i, j, N]
+    else:
+        # per-point NN distance from part i's points to every part j, tiled over i to keep
+        # the working set at [N, P, N] instead of [P, P, N, N]
+        sq = jnp.sum(transformed_pts**2, axis=-1)  # [P, N]
 
-    nn_fwd = jax.lax.map(one_part, transformed_pts)  # [i, j, N]
+        def one_part(pts_i):  # [N, 3] -> [P, N] dist of i's point n to nearest in each j
+            d = (
+                jnp.sum(pts_i**2, axis=-1)[None, :, None]
+                - 2.0 * jnp.einsum("nd,jmd->jnm", pts_i, transformed_pts)
+                + sq[:, None, :]
+            )  # [P, N, N]
+            return d.min(axis=2)  # [P, N]
+
+        nn_fwd = jax.lax.map(one_part, transformed_pts)  # [i, j, N]
     per_point = nn_fwd + jnp.swapaxes(nn_fwd, 0, 1)  # + dist of j's point n to nearest in i
 
     ndot = jnp.einsum("ind,jnd->ijn", normals, normals)  # index-aligned normal dot

@@ -105,3 +105,110 @@ def nn_distance_pallas(x: jnp.ndarray, y: jnp.ndarray):
         ),
     )(xt, yt)
     return dist[:, 0, :N].astype(x.dtype), idx[:, 0, :N]
+
+
+# ---------------------------------------------------------------- masked pairwise NN
+
+
+def _masked_pair_nn_kernel(mask_ref, x_ref, y_ref, dist_ref, *, m_tiles: int):
+    """One (part i, part j, query-tile) program: per-point NN distance of i's tile to j's
+    cloud when mask[i, j] is set, else BIG. Skipped pairs cost ~nothing — this is how the
+    engine's interpenetration test pays only for parts inside merging components
+    (VERDICT r2 #6) while keeping every shape static.
+
+    No ``program_id`` anywhere: every ref's block is exactly this program's slice, so the
+    kernel composes under vmap (batching PREPENDS a grid dim, which would shift
+    program_id axes). The mask arrives as a [1, 1, 128] VMEM block (lane-broadcast value
+    — Mosaic rejects (1, 1) SMEM blocks).
+
+    Precision: the MXU rounds f32 matmul operands to bf16, which near the engine's 1e-3
+    interpenetration threshold is real noise. Coordinates arrive hi/lo-split over sublanes
+    (x rows [hi, lo, hi, lo], y rows [hi, hi, lo, lo], 3 rows each), so ONE dot sums all
+    four partial products and recovers ~f32-accurate x.y at zero extra matmul cost (the
+    3-deep contraction underfills the MXU either way). |x|^2 terms are exact VPU f32 from
+    the recombined coordinates."""
+    active = mask_ref[0, 0, 0] != 0
+
+    @pl.when(active)
+    def _active():
+        x = x_ref[0, :, :]  # [16, TN] hi/lo-packed rows
+        x_full = x[0:3, :] + x[3:6, :]  # exact f32 coordinates
+        x2 = jnp.sum(x_full * x_full, axis=0, keepdims=True)
+
+        def body(j, run_min):
+            y = y_ref[0, :, pl.ds(j * _TM, _TM)]  # [16, TM]
+            y_full = y[0:3, :] + y[6:9, :]
+            y2 = jnp.sum(y_full * y_full, axis=0, keepdims=True)
+            xy = jax.lax.dot_general(
+                x, y, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # sums hi.hi + lo.hi + hi.lo + lo.lo
+            d = x2.T + y2 - 2.0 * xy
+            return jnp.minimum(run_min, jnp.min(d, axis=1, keepdims=True))
+
+        run_min = jax.lax.fori_loop(
+            0, m_tiles, body, jnp.full((_TN, 1), jnp.float32(_BIG), jnp.float32)
+        )
+        dist_ref[0, 0, :] = run_min[:, 0]
+
+    @pl.when(~active)
+    def _inactive():
+        dist_ref[0, 0, :] = jnp.full((_TN,), jnp.float32(_BIG))
+
+
+def masked_pairwise_nn(
+    pts: jnp.ndarray, pair_mask: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """pts: [P, N, 3], pair_mask: [P, P] bool -> sqdist [P, P, N] f32 where
+    out[i, j, n] = min_m |pts[i, n] - pts[j, m]|^2 for active pairs, BIG elsewhere.
+
+    The compute of inactive (i, j) programs is skipped inside the kernel, so cost scales
+    with the number of ACTIVE pairs while shapes stay static (the engine typically has 1-3
+    active pairs out of P^2 on a merging iteration; node_merge_utils.py:159-222)."""
+    P, N, _ = pts.shape
+    n_pad = (-N) % _TN
+    m_pad = (-N) % _TM
+    xt = jnp.transpose(pts, (0, 2, 1)).astype(jnp.float32)  # [P, 3, N]
+    hi = xt.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = xt - hi
+    # hi/lo sublane packing (see kernel docstring): x rows [hi, lo, hi, lo], y rows
+    # [hi, hi, lo, lo]; 12 used rows padded to 16 sublanes
+    zpad = jnp.zeros((P, 4, xt.shape[2]), jnp.float32)
+    xq = jnp.concatenate([hi, lo, hi, lo, zpad], axis=1)
+    yt = jnp.concatenate([hi, hi, lo, lo, zpad], axis=1)
+    xq = jnp.pad(xq, ((0, 0), (0, 0), (0, n_pad)))  # queries: zero-pad (rows sliced off)
+    yt = jnp.pad(yt, ((0, 0), (0, 0), (0, m_pad)))
+    if m_pad:
+        # push padded target points far away (hi rows only; lo rows stay 0)
+        far = jnp.zeros((P, 16, m_pad), jnp.float32).at[:, 0:3, :].set(1e6)
+        far = far.at[:, 3:6, :].set(1e6)
+        yt = yt.at[:, :, N:].set(far)
+    Np, Mp = xq.shape[2], yt.shape[2]
+    # mask flattened to [P*P, 1, 128] so its per-program block (1, 1, 128) satisfies the
+    # Mosaic trailing-dims rule; outputs flattened to [P*P, 1, Np] for the same reason
+    mask_lanes = jnp.broadcast_to(
+        pair_mask.astype(jnp.int32).reshape(P * P, 1, 1), (P * P, 1, 128)
+    )
+    grid = (P, P, Np // _TN)
+    dist = pl.pallas_call(
+        functools.partial(_masked_pair_nn_kernel, m_tiles=Mp // _TM),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda i, j, t: (i * pair_mask.shape[0] + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, _TN), lambda i, j, t: (i, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, Mp), lambda i, j, t: (j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, _TN), lambda i, j, t: (i * pair_mask.shape[0] + j, 0, t),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((P * P, 1, Np), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=7 * P * P * Np * Mp,
+            bytes_accessed=P * P * Np * 4 + P * 8 * (Np + Mp) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(mask_lanes, xq, yt)
+    return dist.reshape(P, P, Np)[:, :, :N]

@@ -59,20 +59,49 @@ def query_ball_point(
     Keeps the ``nsample`` lowest-index points within ``radius`` of each query (exact reference
     behavior, pn2_utils.py:92-112); slots beyond the hit count repeat the first hit. If a query
     has no hit at all (possible only for padded/degenerate queries), falls back to index 0.
+
+    On TPU the selection runs as a counting formulation on the MXU instead of ``lax.top_k``
+    (bit-identical results, parity-tested); the N^2 triangular matmul caps it at N <= 2048.
     """
     N = xyz.shape[1]
     sqd = square_distance(new_xyz, xyz)  # [B, S, N]
     in_ball = sqd <= radius**2
     if valid is not None:
         in_ball = in_ball & valid[:, None, :]
-    cand = jnp.where(in_ball, jnp.arange(N, dtype=jnp.int32), jnp.int32(N))
-    # k smallest indices == top_k of negated values
-    neg_topk, _ = jax.lax.top_k(-cand, nsample)  # [B, S, nsample]
-    group_idx = -neg_topk
+    if jax.default_backend() == "tpu" and N <= 2048:
+        group_idx = _ball_select_counting(in_ball, nsample)
+    else:
+        group_idx = _ball_select_topk(in_ball, nsample)
     first = group_idx[..., :1]
     group_idx = jnp.where(group_idx == N, first, group_idx)
     group_idx = jnp.where(group_idx == N, 0, group_idx)  # no hits at all
     return group_idx
+
+
+def _ball_select_topk(in_ball: jnp.ndarray, nsample: int) -> jnp.ndarray:
+    """First-``nsample``-hit selection: k smallest candidate indices via lax.top_k."""
+    N = in_ball.shape[-1]
+    cand = jnp.where(in_ball, jnp.arange(N, dtype=jnp.int32), jnp.int32(N))
+    neg_topk, _ = jax.lax.top_k(-cand, nsample)  # [B, S, nsample]
+    return -neg_topk
+
+
+def _ball_select_counting(in_ball: jnp.ndarray, nsample: int) -> jnp.ndarray:
+    """First-``nsample``-hit selection via hit-prefix counting (exact, MXU-friendly).
+
+    The k-th (0-based) in-ball index equals the count of positions whose inclusive hit
+    prefix is <= k. The prefix is a triangular matmul — 0/1 operands are exact under the
+    MXU's bf16 operand rounding and counts stay far below 2^24 — and the count is a
+    broadcast-compare reduce that XLA fuses without materializing [B, S, N, K]. Replaces
+    ``lax.top_k`` over the N axis, which at SA-stage shapes (131k rows x 1000) was ~2/3 of
+    the whole grouping chain's time (VALIDATION.md r3 ball-query note)."""
+    N = in_ball.shape[-1]
+    x = in_ball.astype(jnp.float32)
+    prefix = jnp.einsum("bsn,nm->bsm", x, jnp.triu(jnp.ones((N, N), jnp.float32)))
+    ks = jnp.arange(nsample, dtype=jnp.float32)
+    return jnp.sum(
+        (prefix[..., None] <= ks + 0.5).astype(jnp.int32), axis=-2, dtype=jnp.int32
+    )
 
 
 def index_points_matmul_safe(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -85,9 +85,18 @@ def make_model(cfg: Config) -> DenoiserTransformer:
 
 
 def loss_fn(params, model, encoder: FrozenEncoder, ddpm: DDPMParams, batch, rng, train,
-            timestep_set=None):
+            timestep_set=None, encode_cached=False):
     """``timestep_set``: optional [S] array of allowed training timesteps (the
-    train_on_inference_timesteps option); None = t ~ U[0, num_train_timesteps)."""
+    train_on_inference_timesteps option); None = t ~ U[0, num_train_timesteps).
+
+    ``encode_cached``: route the frozen-encoder forward through the geometry-cache +
+    rotation-folding path the inference engine uses (build_feature_cache: grouped relative
+    coordinates gathered ONCE on the unrotated clouds, per-part rotation folded into each SA
+    stage's first Dense; on TPU each stage then runs as one fused Pallas kernel,
+    ops/sa_fused_pallas.py). Identical semantics to rotate-then-encode — rotation commutes
+    with FPS/ball-query/gather-recenter — minus float-association jitter. Viable at training
+    batch sizes thanks to part-count bucketing (the r2 attempt at the global P=20 pad OOMed,
+    see VALIDATION.md); cfg.denoiser.train_encode_cached gates it."""
     gt = jnp.concatenate([batch["part_trans"], batch["part_rots"]], axis=-1)  # [B, P, 7]
     ref = batch["ref_part"].astype(bool)
     B = gt.shape[0]
@@ -102,7 +111,13 @@ def loss_fn(params, model, encoder: FrozenEncoder, ddpm: DDPMParams, batch, rng,
     noisy = add_noise(ddpm, gt, noise, timesteps)
     noisy = jnp.where(ref[..., None], gt, noisy)
 
-    latent, xyz = extract_features(encoder, batch["part_pcs"], batch["part_valids"], noisy)
+    cache = (
+        build_feature_cache(encoder, batch["part_pcs"], batch["part_valids"])
+        if encode_cached else None
+    )
+    latent, xyz = extract_features(
+        encoder, batch["part_pcs"], batch["part_valids"], noisy, cache
+    )
     # the encoder is FROZEN (reference train_denoiser.py:30-35 requires_grad=False): without
     # stop_gradient JAX still materializes the whole encoder backward for zero trainable grads
     latent = jax.lax.stop_gradient(latent)
@@ -122,12 +137,15 @@ def loss_fn(params, model, encoder: FrozenEncoder, ddpm: DDPMParams, batch, rng,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "encoder", "tx"), donate_argnames=("state",)
+    jax.jit,
+    static_argnames=("model", "encoder", "tx", "encode_cached"),
+    donate_argnames=("state",),
 )
-def train_step(state: TrainState, batch, rng, model, encoder, ddpm, tx, timestep_set=None):
+def train_step(state: TrainState, batch, rng, model, encoder, ddpm, tx, timestep_set=None,
+               encode_cached=False):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     (_, metrics), grads = grad_fn(state.params, model, encoder, ddpm, batch, rng, True,
-                                  timestep_set)
+                                  timestep_set, encode_cached)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
     return TrainState(new_params, state.batch_stats, new_opt, state.step + 1), metrics
@@ -280,6 +298,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
             state, metrics = train_step(
                 state, shard_batch(numeric_batch(_slice(batch)), mesh), step_rng,
                 model, encoder, ddpm, tx, timestep_set,
+                cfg.denoiser.train_encode_cached,
             )
             if step % cfg.trainer.log_every == 0:
                 logger.log(step, epoch=epoch, **jax.device_get(metrics))

@@ -80,6 +80,13 @@ class DenoiserConfig:
     # AdaLN table, and concentrating training there reaches the part-acc bar orders of
     # magnitude sooner (VALIDATION.md overfit proof). False = reference behavior.
     train_on_inference_timesteps: bool = False
+    # Frozen-encoder forward in the train step via the geometry-cache + rotation-folding
+    # path (the engine's fast path; fused Pallas SA kernels on TPU). Semantically equal to
+    # rotate-then-encode (rotation commutes with FPS/ball-query/gather). MEASURED NEGATIVE
+    # for training (184 vs 174 ms/step at b64 P=8, VALIDATION.md r3): without the engine's
+    # 20-step amortization the per-step geometry build eats the fused kernels' win. Kept as
+    # an option; default stays on the composable path.
+    train_encode_cached: bool = False
     multiple_ref_parts: bool = True
     lr: float = 2e-4
     b1: float = 0.95

@@ -7,6 +7,7 @@ shape sets, augmentation is the full reference pipeline (fresh rotations every e
 multi-ref curriculum), and checkpoint selection uses the top-k retention on eval part_acc.
 
 Env: N_TRAIN=256 N_VAL=16 STEPS_AE=4000 STEPS_DN=10000 STEPS_VF=1000
+     MIN_PARTS=2 MAX_PARTS=20 (r3: full reference part-count range, data.yaml:11)
 """
 
 import os
@@ -37,6 +38,8 @@ N_VAL = int(os.environ.get("N_VAL", "16"))
 STEPS_AE = int(os.environ.get("STEPS_AE", "4000"))
 STEPS_DN = int(os.environ.get("STEPS_DN", "10000"))
 STEPS_VF = int(os.environ.get("STEPS_VF", "1000"))
+MIN_PARTS = int(os.environ.get("MIN_PARTS", "2"))
+MAX_PARTS = int(os.environ.get("MAX_PARTS", "20"))
 
 ROOT = f"/tmp/pfpp_gen_{N_TRAIN}"
 OUT = ROOT + "/out"
@@ -44,9 +47,9 @@ t0 = time.time()
 if not os.path.exists(ROOT + "/.done"):
     print(f"[{time.time()-t0:.0f}s] generating {N_TRAIN}+{N_VAL} shapes", flush=True)
     generate_dataset(ROOT, num_shapes=N_TRAIN, seed=11, split="train",
-                     min_parts=3, max_parts=8, n_points=1000)
+                     min_parts=MIN_PARTS, max_parts=MAX_PARTS, n_points=1000)
     generate_dataset(ROOT, num_shapes=N_VAL, seed=12, split="val",
-                     min_parts=3, max_parts=8, n_points=1000)
+                     min_parts=MIN_PARTS, max_parts=MAX_PARTS, n_points=1000)
     open(ROOT + "/.done", "w").write("ok")
 
 cfg = Config()

@@ -246,3 +246,69 @@ class TestFusedCachedSAInterpret:
         ref = self._reference(g, w_eff, feats, gidx, k1f, b1, w2, b2, w3, b3)
         assert out.shape == (M, S, C3)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_ball_select_counting_matches_topk():
+    """The MXU counting formulation of ball-query selection (grouping.py::
+    _ball_select_counting, the TPU path) must be bit-identical to the top_k selection
+    across hit densities, including zero-hit and all-hit rows."""
+    from puzzlefusion_plusplus_tpu.ops.grouping import (
+        _ball_select_counting,
+        _ball_select_topk,
+        square_distance,
+    )
+
+    rng = np.random.default_rng(3)
+    for B, N, S, K, r in ((2, 333, 64, 16, 0.05), (1, 1000, 128, 32, 0.2),
+                          (3, 64, 8, 8, 5.0)):
+        x = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32) * 0.3)
+        c = x[:, :S]
+        in_ball = square_distance(c, x) <= r * r
+        a = _ball_select_counting(in_ball, K)
+        b = _ball_select_topk(in_ball, K)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMaskedPairwiseNNInterpret:
+    """CPU interpret-mode parity for the masked pairwise-NN kernel
+    (ops/chamfer_pallas.py::masked_pairwise_nn) that the engine's interpenetration filter
+    uses on TPU — inactive pairs must hold a BIG sentinel, active pairs the exact NN
+    distances, and vmap (the engine batches merge_geometry) must compose."""
+
+    def _oracle(self, pts, mask):
+        d = np.sum(
+            (pts[:, None, :, None, :] - pts[None, :, None, :, :]) ** 2, axis=-1
+        )  # [P, P, N, M]
+        return d.min(-1), mask
+
+    def test_parity_and_sentinel(self):
+        from puzzlefusion_plusplus_tpu.ops.chamfer_pallas import masked_pairwise_nn
+
+        rng = np.random.default_rng(5)
+        P, N = 5, 300  # N not a tile multiple -> padding paths
+        pts = (rng.normal(size=(P, N, 3)) * 0.3).astype(np.float32)
+        mask = np.zeros((P, P), bool)
+        mask[0, 1] = mask[1, 0] = mask[2, 4] = mask[4, 2] = True
+        out = np.asarray(masked_pairwise_nn(jnp.asarray(pts), jnp.asarray(mask),
+                                            interpret=True))
+        nn, m = self._oracle(pts, mask)
+        np.testing.assert_allclose(out[m], nn[m], atol=1e-4)
+        assert (out[~m] >= 1e12).all()
+
+    def test_vmap_composes(self):
+        from puzzlefusion_plusplus_tpu.ops.chamfer_pallas import masked_pairwise_nn
+
+        rng = np.random.default_rng(6)
+        B, P, N = 2, 3, 256
+        pts = (rng.normal(size=(B, P, N, 3)) * 0.3).astype(np.float32)
+        mask = rng.random((B, P, P)) < 0.5
+        mask &= ~np.eye(P, dtype=bool)[None]
+        out = np.asarray(
+            jax.vmap(lambda p, m: masked_pairwise_nn(p, m, interpret=True))(
+                jnp.asarray(pts), jnp.asarray(mask)
+            )
+        )
+        for b in range(B):
+            nn, m = self._oracle(pts[b], mask[b])
+            np.testing.assert_allclose(out[b][m], nn[m], atol=1e-4)
+            assert (out[b][~m] >= 1e12).all()

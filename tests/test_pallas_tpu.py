@@ -153,3 +153,35 @@ def test_sa_stage_fused_cached_parity():
     w_eff = jnp.einsum("med,ec->mdc", rot, k1[:3])
     out = sa_stage_fused_cached(g_rel, w_eff, feats, idx[1], k1[3:], b1, w2, b2, w3, b3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+def test_masked_pairwise_nn_parity():
+    from puzzlefusion_plusplus_tpu.ops.chamfer_pallas import masked_pairwise_nn
+
+    P, N = 6, 1000
+    pts = jnp.array((RNG.standard_normal((P, N, 3)) * 0.3).astype(np.float32))
+    mask = np.zeros((P, P), bool)
+    mask[0, 3] = mask[3, 0] = mask[2, 5] = mask[5, 2] = mask[1, 4] = True
+    out = np.asarray(masked_pairwise_nn(pts, jnp.asarray(mask)))
+    p = np.asarray(pts)
+    d = np.sum((p[:, None, :, None, :] - p[None, :, None, :, :]) ** 2, axis=-1)
+    nn = d.min(-1)
+    np.testing.assert_allclose(out[mask], nn[mask], atol=1e-4)
+    assert (out[~mask] >= 1e12).all()
+
+
+def test_ball_select_counting_tpu_exact():
+    """The MXU counting selection must stay exact on hardware (bf16 operand rounding of
+    0/1 and triangular matrices is lossless)."""
+    from puzzlefusion_plusplus_tpu.ops.grouping import (
+        _ball_select_counting,
+        _ball_select_topk,
+        square_distance,
+    )
+
+    x = jnp.array((RNG.standard_normal((4, 1000, 3)) * 0.3).astype(np.float32))
+    c = x[:, :256]
+    in_ball = square_distance(c, x) <= 0.04
+    a = _ball_select_counting(in_ball, 32)
+    b = _ball_select_topk(in_ball, 32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
