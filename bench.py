@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 if "--help" in sys.argv or "-h" in sys.argv:
     # cheap smoke path (tests/test_graft_entry.py): no jax import, no device touch
     print(__doc__)
-    print("usage: bench.py [--cpu-baseline|--serving]  # env: PFPP_BENCH_BATCH,"
-          " PFPP_BENCH_REPEATS, PFPP_BENCH_DATA, PFPP_BENCH_PRECISION")
+    print("usage: bench.py [--cpu-baseline|--serving|--full-range]  # env: PFPP_BENCH_BATCH,"
+          " PFPP_BENCH_REPEATS, PFPP_BENCH_DATA, PFPP_BENCH_PRECISION, PFPP_BENCH_AOT")
     sys.exit(0)
 
 import jax
@@ -56,24 +56,92 @@ REPEATS = max(1, int(os.environ.get("PFPP_BENCH_REPEATS", "3")))
 NUM_BENCH_SHAPES = 32
 
 
-def _ensure_data() -> None:
+def _ensure_data(data_dir: str = None, max_parts: int = 12) -> str:
     from puzzlefusion_plusplus_tpu.data import generate_dataset
 
-    marker = os.path.join(DATA_DIR, f".done_{NUM_BENCH_SHAPES}")
-    if os.path.exists(marker):
-        return
-    generate_dataset(DATA_DIR, num_shapes=NUM_BENCH_SHAPES, seed=7, split="val",
-                     min_parts=3, max_parts=12)
-    open(marker, "w").write("ok")
+    data_dir = data_dir or DATA_DIR
+    marker = os.path.join(data_dir, f".done_{NUM_BENCH_SHAPES}")
+    if not os.path.exists(marker):
+        generate_dataset(data_dir, num_shapes=NUM_BENCH_SHAPES, seed=7, split="val",
+                         min_parts=3, max_parts=max_parts)
+        open(marker, "w").write("ok")
+    return data_dir
 
 
-def serving_main() -> None:
+def _code_fingerprint(extra: tuple) -> str:
+    """Hash of the package sources + jax version + the shapes/config tuple: the staleness
+    guard for serialized engine executables (a stale binary would silently run old code)."""
+    import hashlib
+
+    import jax as _jax
+
+    h = hashlib.sha256(repr((_jax.__version__, extra)).encode())
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "puzzlefusion_plusplus_tpu")
+    for root, _dirs, files in sorted(os.walk(pkg)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
+def _engine_call_aot(engine, sample, rngs, cfg):
+    """Return a callable like ``engine`` backed by a deserialized AOT executable when a
+    fingerprint-matching one exists on disk; otherwise compile, serialize, and return the
+    jitted path. Makes warm process starts deterministic (VERDICT r2 #8): the persistent
+    HLO cache occasionally misses through the axon tunnel (~6 min recompile); the pickled
+    executable skips trace+lower+compile entirely."""
+    import pickle
+
+    if not int(os.environ.get("PFPP_BENCH_AOT", "1")):
+        return engine, "off"
+    shapes = tuple(sorted((k, tuple(v.shape), str(v.dtype)) for k, v in sample.items()))
+    fp = _code_fingerprint((shapes, tuple(rngs.shape), cfg.trainer.precision,
+                            cfg.inference.batch_size))
+    aot_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache", "aot")
+    os.makedirs(aot_dir, exist_ok=True)
+    path = os.path.join(aot_dir, f"engine_{jax.default_backend()}_{fp}.pkl")
+    try:
+        from jax.experimental.serialize_executable import (
+            deserialize_and_load,
+            serialize,
+        )
+    except ImportError:
+        return engine, "unavailable"
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as fh:
+                payload, in_tree, out_tree = pickle.load(fh)
+            compiled = deserialize_and_load(payload, in_tree, out_tree)
+            return (lambda b, r: compiled(engine.params, b, r)), "hit"
+        except Exception:
+            pass  # stale/corrupt -> fall through to recompile
+    compiled = engine.jitted.lower(engine.params, sample, rngs).compile()
+    try:
+        with open(path, "wb") as fh:
+            pickle.dump(serialize(compiled), fh)
+        status = "miss-saved"
+    except Exception:
+        status = "miss-unserializable"
+    return (lambda b, r: compiled(engine.params, b, r)), status
+
+
+def serving_main(full_range: bool = False) -> None:
     """--serving: throughput over the FULL heterogeneous bench set via the production
     serving policy (inference/run.py): part-count-sorted batches, each sliced to its own
     bucket pad — under-filled pads get much cheaper XLA specializations than the default
     metric's single max-pad batch. Timing excludes compile (one warm pass per distinct
-    (batch_size, part_pad) specialization)."""
-    _ensure_data()
+    (batch_size, part_pad) specialization).
+
+    ``full_range`` (--full-range): same policy over a part distribution reaching the
+    reference contract's 20 parts (config/denoiser/data.yaml:11) instead of the default
+    <=12-part set — the honest headline for Breaking-Bad-everyday-like serving
+    (VERDICT r2 weak #1)."""
+    if full_range:
+        data_dir = _ensure_data(DATA_DIR + "_full20", max_parts=20)
+    else:
+        data_dir = _ensure_data()
 
     from puzzlefusion_plusplus_tpu.data.bucketing import part_bucket, slice_batch_parts
     from puzzlefusion_plusplus_tpu.data.datasets import DenoiserDataset
@@ -82,8 +150,8 @@ def serving_main() -> None:
     from puzzlefusion_plusplus_tpu.utils.config import Config
 
     cfg = Config()
-    cfg.data.data_val_dir = os.path.join(DATA_DIR, "pc_data", "val")
-    cfg.data.matching_data_path = os.path.join(DATA_DIR, "matching_data")
+    cfg.data.data_val_dir = os.path.join(data_dir, "pc_data", "val")
+    cfg.data.matching_data_path = os.path.join(data_dir, "matching_data")
     cfg.trainer.precision = os.environ.get("PFPP_BENCH_PRECISION", cfg.trainer.precision)
     cfg.inference.batch_size = BATCH
 
@@ -129,13 +197,17 @@ def serving_main() -> None:
         times.append(time.time() - t0)
 
     value = n / min(times)
+    counts = ds.num_parts_list()
     print(json.dumps({
-        "metric": "serving_assemblies_per_sec_full_set",
+        "metric": ("serving_assemblies_per_sec_3to20_parts" if full_range
+                   else "serving_assemblies_per_sec_full_set"),
         "value": round(value, 4),
         "unit": "assemblies/s",
         "vs_baseline": round(value / REFERENCE_CPU_ASSEMBLIES_PER_SEC, 2),
         "extra": {"backend": jax.default_backend(), "n_shapes": n, "batch": BATCH,
                   "pads": pads, "precision": cfg.trainer.precision,
+                  "part_counts": {"min": int(counts.min()), "max": int(counts.max()),
+                                  "mean": round(float(counts.mean()), 1)},
                   "warm_s": round(warm_s, 1), "runs_s": [round(t, 3) for t in times]},
     }))
 
@@ -180,8 +252,11 @@ def main() -> None:
     engine = build_engine_fn(cfg)
     rngs = jax.random.split(jax.random.key(0), n)
 
-    # warmup / compile
+    # warmup / compile — via a serialized AOT executable when a fingerprint-matching one
+    # exists (deterministic warm starts; the persistent HLO cache is flaky through the
+    # axon tunnel, VERDICT r2 #8)
     t0 = time.time()
+    engine, aot_status = _engine_call_aot(engine, sample, rngs, cfg)
     out = engine(sample, rngs)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
@@ -212,6 +287,7 @@ def main() -> None:
             "part_pad": int(sample["part_pcs"].shape[1]),
             "precision": cfg.trainer.precision,
             "compile_s": round(compile_s, 1),
+            "aot": aot_status,
             "p50_denoise_verify_iter_latency_s": round(iter_latency_p50, 4),
             "runs_s": [round(t, 3) for t in times],
             # BASELINE.md north star: >= 10x the CPU reference on v5e-8; this is the
@@ -225,7 +301,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--serving" in sys.argv:
+    if "--full-range" in sys.argv:
+        serving_main(full_range=True)
+    elif "--serving" in sys.argv:
         serving_main()
     else:
         main()

@@ -108,6 +108,10 @@ def build_engine_fn(cfg: Config):
     def engine(batch, rngs):
         return engine_batch(param_bundle, batch, rngs)
 
+    # exposed for AOT executable serialization (bench.py): the raw jitted fn + weights let
+    # a caller lower/compile once and serialize the executable next to the HLO cache
+    engine.jitted = engine_batch
+    engine.params = param_bundle
     return engine
 
 

@@ -219,6 +219,12 @@ def main(argv=None):
         batch_size=int(args.get("batch_size", 1)),
         num_points=int(args.get("num_points", 5000)),
         lr=float(args.get("lr", 1e-3)),
+        mat_epoch=int(args.get("mat_epoch", 10)),
+        rig_epoch=int(args.get("rig_epoch", 200)),
+        max_num_part=int(args.get("max_num_part", 20)),
+        val_data_dir=args.get("val_data_dir") or None,
+        val_every=int(args.get("val_every", 50)),
+        max_steps=int(args["max_steps"]) if "max_steps" in args else None,
     )
 
 
