@@ -3,7 +3,7 @@ from puzzlefusion_plusplus_tpu.data.datasets import (
     VerifierDataset,
     VQVAEDataset,
 )
-from puzzlefusion_plusplus_tpu.data.loader import Loader
+from puzzlefusion_plusplus_tpu.data.loader import Loader, prefetch_batches
 from puzzlefusion_plusplus_tpu.data.synthetic import generate_dataset
 
 __all__ = [
@@ -11,5 +11,6 @@ __all__ = [
     "VerifierDataset",
     "VQVAEDataset",
     "Loader",
+    "prefetch_batches",
     "generate_dataset",
 ]

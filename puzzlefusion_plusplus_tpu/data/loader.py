@@ -95,6 +95,57 @@ class Loader:
         return batches
 
 
+def prefetch_batches(iterable, depth: int = 2) -> Iterator[Any]:
+    """Background-thread prefetch: overlaps host-side augmentation with device steps.
+
+    The torch reference gets this from DataLoader(num_workers=...); here a single daemon
+    thread drives the underlying iterator ahead of the consumer (bounded by ``depth``),
+    which preserves the loader's rng call order exactly (one producer, same sequence) and
+    therefore batch-for-batch determinism. On this 1-core host the augmentation runs while
+    the chip computes the previous step — measured to hide most of the stage-1 loader cost
+    (VALIDATION.md r3). Exceptions in the producer re-raise at the consumer; early consumer
+    exit (max_steps breaks) signals the producer to stop."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    sentinel = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterable:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # noqa: BLE001 - re-raised at the consumer
+            err.append(e)
+        finally:
+            try:
+                q.put_nowait(sentinel)
+            except queue.Full:
+                pass
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+
+
 def collate_stack(items: list[dict[str, Any]]) -> dict[str, np.ndarray]:
     out = {}
     for k in items[0]:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from puzzlefusion_plusplus_tpu.data.loader import Loader
+from puzzlefusion_plusplus_tpu.data.loader import Loader, prefetch_batches
 from puzzlefusion_plusplus_tpu.matching import ops as mops
 from puzzlefusion_plusplus_tpu.matching.dataset import AllPieceMatchingDataset
 from puzzlefusion_plusplus_tpu.matching.model import (
@@ -179,7 +179,7 @@ def train_matching(
     for epoch in range(start_epoch, epochs):
         w_mat = 1.0 if epoch >= mat_epoch else 0.0
         w_rig = 1.0 if epoch >= rig_epoch else 0.0
-        for batch in loader:
+        for batch in prefetch_batches(loader):
             rng, k = jax.random.split(rng)
             state, metrics = train_step(
                 state, {k2: jnp.asarray(v) for k2, v in numeric_batch(batch).items()},

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from puzzlefusion_plusplus_tpu.data import DenoiserDataset, Loader
+from puzzlefusion_plusplus_tpu.data import DenoiserDataset, Loader, prefetch_batches
 from puzzlefusion_plusplus_tpu.data.bucketing import part_bucket, slice_batch_parts
 from puzzlefusion_plusplus_tpu.inference.sampler import (
     FrozenEncoder,
@@ -293,7 +293,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     # the per-epoch batch count varies slightly with the permutation)
     start_epoch = min(step // max(len(train_loader), 1), cfg.denoiser.epochs)
     for epoch in range(start_epoch, cfg.denoiser.epochs):
-        for batch in train_loader:
+        for batch in prefetch_batches(train_loader):
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(
                 state, shard_batch(numeric_batch(_slice(batch)), mesh), step_rng,

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from puzzlefusion_plusplus_tpu.data import Loader, VerifierDataset
+from puzzlefusion_plusplus_tpu.data import Loader, VerifierDataset, prefetch_batches
 from puzzlefusion_plusplus_tpu.models.verifier import VerifierTransformer
 from puzzlefusion_plusplus_tpu.parallel import (
     data_parallel_mesh,
@@ -136,7 +136,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     step = int(state.step)
     start_epoch = min(step // max(len(train_loader), 1), cfg.verifier.epochs)
     for epoch in range(start_epoch, cfg.verifier.epochs):
-        for batch in train_loader:
+        for batch in prefetch_batches(train_loader):
             rng, k = jax.random.split(rng)
             state, metrics = train_step(
                 state, shard_batch(numeric_batch(batch), mesh), k, model, tx,

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from puzzlefusion_plusplus_tpu.data import Loader, VQVAEDataset
+from puzzlefusion_plusplus_tpu.data import Loader, VQVAEDataset, prefetch_batches
 from puzzlefusion_plusplus_tpu.data.bucketing import part_bucket, slice_batch_parts
 from puzzlefusion_plusplus_tpu.models.vqvae import VQVAE
 from puzzlefusion_plusplus_tpu.ops.chamfer import nn_distance
@@ -168,7 +168,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     step = int(state.step)
     start_epoch = min(step // max(len(train_loader), 1), cfg.ae.epochs)
     for epoch in range(start_epoch, cfg.ae.epochs):
-        for batch in train_loader:
+        for batch in prefetch_batches(train_loader):
             state, metrics = train_step(state, shard_batch(_slice(numeric_batch(batch)), mesh),
                                         model, tx)
             if step % cfg.trainer.log_every == 0:

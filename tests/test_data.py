@@ -236,3 +236,40 @@ def test_loader_multihost_equal_counts_and_disjoint(bucketed):
         for batches in per_host:
             for b in batches:  # batches never cross buckets
                 assert len(set(key[b["data_id"]])) == 1
+
+
+def test_prefetch_batches_matches_plain_iteration(tmp_path):
+    """prefetch_batches must preserve batch order/content exactly (single producer thread
+    drives the same iterator, so the shared loader rng sequence is unchanged), propagate
+    producer exceptions, and survive early consumer exit without deadlocking."""
+    from puzzlefusion_plusplus_tpu.data import generate_dataset
+    from puzzlefusion_plusplus_tpu.data.datasets import VQVAEDataset
+    from puzzlefusion_plusplus_tpu.data.loader import Loader, prefetch_batches
+
+    root = str(tmp_path)
+    generate_dataset(root, num_shapes=6, seed=2, split="train", min_parts=2, max_parts=3,
+                     n_points=64, with_matching=False, with_verifier=False)
+    ds = VQVAEDataset(root + "/pc_data/train", max_num_part=4)
+
+    plain = list(Loader(ds, 2, seed=5))
+    pref = list(prefetch_batches(Loader(ds, 2, seed=5), depth=2))
+    assert len(plain) == len(pref)
+    for a, b in zip(plain, pref):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    # early exit: take one batch and leave; the producer must stop (no deadlock on exit)
+    gen = prefetch_batches(Loader(ds, 2, seed=5), depth=1)
+    next(gen)
+    gen.close()
+
+    # producer exception propagates to the consumer
+    def boom():
+        yield {"x": np.zeros(1)}
+        raise RuntimeError("producer failed")
+
+    it = prefetch_batches(boom(), depth=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(it)
