@@ -22,11 +22,10 @@ from puzzlefusion_plusplus_tpu.matching.dataset import AllPieceMatchingDataset
 from puzzlefusion_plusplus_tpu.matching.model import (
     JigsawModel,
     gt_permutation,
-    hungarian_perm,
-    matching_f1,
     permutation_loss,
     rigid_loss_pairs,
 )
+from puzzlefusion_plusplus_tpu.matching.sinkhorn import _hungarian_host
 from puzzlefusion_plusplus_tpu.training.state import (
     MetricsLogger,
     TopKCheckpointer,
@@ -117,14 +116,38 @@ def numeric_batch(batch):
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
-def eval_step(params, batch_stats, batch, rng, model):
-    """Validation metrics incl. Hungarian-discretized matching F1 (the reference's
-    val/mat_f1 monitor, Jigsaw_matching/train_matching.py:41-49)."""
+def _eval_device(params, batch_stats, batch, rng, model):
     _, (metrics, _, out, gt_perm, cross) = loss_fn(
         params, batch_stats, model, batch, 1.0, 0.0, False, rng
     )
-    perm = hungarian_perm(out["ds_mat"], out["n_critical_sum"])
-    metrics.update(matching_f1(perm.astype(jnp.float32), gt_perm, cross))
+    return metrics, out["ds_mat"], out["n_critical_sum"], gt_perm, cross
+
+
+def eval_step(params, batch_stats, batch, rng, model):
+    """Validation metrics incl. Hungarian-discretized matching F1 (the reference's
+    val/mat_f1 monitor, Jigsaw_matching/train_matching.py:41-49).
+
+    The Hungarian discretization + F1 run host-side in numpy on the fetched ds_mat —
+    the assignment is a host computation either way (scipy), and keeping it out of the
+    jitted program avoids a ``pure_callback`` round trip through the remote-device
+    transport (same bytes move: the scores must reach the host for scipy regardless).
+    """
+    metrics, ds_mat, n_crit, gt_perm, cross = jax.device_get(
+        _eval_device(params, batch_stats, batch, rng, model)
+    )
+    perm = _hungarian_host(np.asarray(ds_mat), np.asarray(n_crit), np.asarray(n_crit))
+    gt_perm, cross = np.asarray(gt_perm), np.asarray(cross)
+    tp = float((perm * gt_perm * cross).sum())
+    fp = float((perm * (1.0 - gt_perm) * cross).sum())
+    fn = float(((1.0 - perm) * gt_perm * cross).sum())
+    eps = 1e-7
+    precision = tp / (tp + fp + eps)
+    recall = tp / (tp + fn + eps)
+    metrics.update(
+        mat_precision=precision,
+        mat_recall=recall,
+        mat_f1=2 * precision * recall / (precision + recall + eps),
+    )
     return metrics
 
 
