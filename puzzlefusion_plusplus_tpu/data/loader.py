@@ -127,10 +127,16 @@ def prefetch_batches(iterable, depth: int = 2) -> Iterator[Any]:
         except BaseException as e:  # noqa: BLE001 - re-raised at the consumer
             err.append(e)
         finally:
-            try:
-                q.put_nowait(sentinel)
-            except queue.Full:
-                pass
+            # The sentinel MUST reach the consumer or it blocks in q.get() forever —
+            # put_nowait would silently drop it whenever the queue is full at producer
+            # exhaustion (every epoch end with a slow consumer). Keep trying until it
+            # lands or the consumer signals exit.
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

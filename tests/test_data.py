@@ -273,3 +273,48 @@ def test_prefetch_batches_matches_plain_iteration(tmp_path):
     next(it)
     with pytest.raises(RuntimeError, match="producer failed"):
         next(it)
+
+
+def test_prefetch_batches_slow_consumer_terminates():
+    """Regression: with a consumer slower than the producer the queue is full when the
+    producer exhausts; the end-of-iteration sentinel must still reach the consumer (a
+    put_nowait there silently dropped it and every epoch end deadlocked in q.get())."""
+    import threading
+    import time
+
+    from puzzlefusion_plusplus_tpu.data.loader import prefetch_batches
+
+    got: list[int] = []
+
+    def consume():
+        for item in prefetch_batches(iter(range(6)), depth=1):
+            time.sleep(0.05)  # queue is full by the time the producer finishes
+            got.append(item)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), "prefetch_batches deadlocked at producer exhaustion"
+    assert got == list(range(6))
+
+    # same shape for the error path: exception raised while the queue is full
+    def boom_fast():
+        yield 0
+        yield 1
+        raise RuntimeError("late producer failure")
+
+    out: list[object] = []
+
+    def consume_err():
+        try:
+            for item in prefetch_batches(boom_fast(), depth=1):
+                time.sleep(0.05)
+                out.append(item)
+        except RuntimeError as e:
+            out.append(str(e))
+
+    t2 = threading.Thread(target=consume_err, daemon=True)
+    t2.start()
+    t2.join(timeout=30)
+    assert not t2.is_alive(), "prefetch_batches deadlocked on late producer failure"
+    assert out == [0, 1, "late producer failure"]
