@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from tests.helpers import jit_init
+
 from puzzlefusion_plusplus_tpu.data import generate_dataset
 from puzzlefusion_plusplus_tpu.data.bucketing import (
     EDGE_KEYS,
@@ -130,6 +132,7 @@ def test_single_forward_pad_invariance(bucket_setup):
         jax.random.split(jax.random.key(0), B)
     )
 
+    @jax.jit
     def fwd(b):
         pcs = jnp.asarray(b["part_pcs"])
         valids = jnp.asarray(b["part_valids"], jnp.float32)
@@ -143,8 +146,9 @@ def test_single_forward_pad_invariance(bucket_setup):
         )
         return latent, xyz, out
 
-    lat_f, xyz_f, out_f = jax.device_get(fwd(batch))
-    lat_b, xyz_b, out_b = jax.device_get(fwd(sliced))
+    keys = ("part_pcs", "part_valids", "part_scale", "ref_part")
+    lat_f, xyz_f, out_f = jax.device_get(fwd({k: jnp.asarray(batch[k]) for k in keys}))
+    lat_b, xyz_b, out_b = jax.device_get(fwd({k: jnp.asarray(sliced[k]) for k in keys}))
     valid = np.asarray(batch["part_valids"][:, :P_b]) > 0
     np.testing.assert_allclose(
         np.asarray(lat_f)[:, :P_b][valid], np.asarray(lat_b)[valid], atol=1e-5
@@ -247,23 +251,24 @@ def test_bucketed_vqvae_loss_pad_invariant(bucket_setup, tmp_path):
                   local_decode_pts=4, sa_npoints=(24, 12), sa_nsamples=(8, 8, 8))
     jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "data_id"}
     flat, _ = tvq._flatten_compact(jb)
-    variables = model.init(jax.random.key(0), flat, train=False)
+    variables = jit_init(model, jax.random.key(0), flat, train=False)
     params, stats = variables["params"], variables.get("batch_stats", {})
 
     P_b = part_bucket(int(np.max(batch["num_parts"])))
     assert P_b < batch["part_pcs"].shape[1]
     sliced = slice_batch_parts(batch, P_b)
     jb_s = {k: jnp.asarray(v) for k, v in sliced.items() if k != "data_id"}
-    loss_f, (m_f, _) = tvq.loss_fn(params, stats, model, jb, train=False)
-    loss_b, (m_b, _) = tvq.loss_fn(params, stats, model, jb_s, train=False)
+    jloss = jax.jit(tvq.loss_fn, static_argnums=(2,), static_argnames=("train",))
+    loss_f, (m_f, _) = jloss(params, stats, model, jb, train=False)
+    loss_b, (m_b, _) = jloss(params, stats, model, jb_s, train=False)
     np.testing.assert_allclose(float(loss_f), float(loss_b), rtol=1e-5)
     np.testing.assert_allclose(float(m_f["cd_loss"]), float(m_b["cd_loss"]), rtol=1e-5)
 
     # train mode: MaskedBatchNorm zero-weights the compaction repeats, so the train-mode
     # loss AND the updated batch statistics are bucket-pad-invariant too (the repeats'
     # count varies with the pad; unweighted BN stats would differ between pads)
-    loss_tf, (_, stats_f) = tvq.loss_fn(params, stats, model, jb, train=True)
-    loss_tb, (_, stats_b) = tvq.loss_fn(params, stats, model, jb_s, train=True)
+    loss_tf, (_, stats_f) = jloss(params, stats, model, jb, train=True)
+    loss_tb, (_, stats_b) = jloss(params, stats, model, jb_s, train=True)
     np.testing.assert_allclose(float(loss_tf), float(loss_tb), rtol=1e-4)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),

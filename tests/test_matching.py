@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from tests.helpers import jit_apply, jit_init
+
 from puzzlefusion_plusplus_tpu.matching import ops as mops
 from puzzlefusion_plusplus_tpu.matching.alignment import (
     global_alignment,
@@ -154,10 +156,10 @@ def test_jigsaw_model_forward(tiny_jigsaw):
     pid = mops.piece_ids(n_pcs, N)
     n_valid = jnp.asarray([2])
     labels = jnp.asarray((rng.random((B, N)) < 0.3).astype(np.int32))
-    variables = tiny_jigsaw.init(jax.random.key(0), pcs, pid, n_valid, labels,
-                                 train=False, compute_matching=True)
-    out = tiny_jigsaw.apply(variables, pcs, pid, n_valid, labels, train=False,
-                            compute_matching=True)
+    variables = jit_init(tiny_jigsaw, jax.random.key(0), pcs, pid, n_valid, labels,
+                         train=False, compute_matching=True)
+    out = jit_apply(tiny_jigsaw, variables, pcs, pid, n_valid, labels, train=False,
+                    compute_matching=True)
     assert out["cls_logits"].shape == (B, N)
     assert out["ds_mat"].shape == (B, N, N)
     m = np.asarray(out["ds_mat"])
@@ -179,10 +181,10 @@ def test_jigsaw_model_multiclass_head():
     pid = mops.piece_ids(jnp.asarray([[64, 64, 0]]), N)
     n_valid = jnp.asarray([2])
     labels = jnp.asarray((rng.random((B, N)) < 0.3).astype(np.int32))
-    variables = model.init(jax.random.key(0), pcs, pid, n_valid, labels,
-                           train=False, compute_matching=True)
-    out = model.apply(variables, pcs, pid, n_valid, labels, train=False,
-                      compute_matching=True)
+    variables = jit_init(model, jax.random.key(0), pcs, pid, n_valid, labels,
+                         train=False, compute_matching=True)
+    out = jit_apply(model, variables, pcs, pid, n_valid, labels, train=False,
+                    compute_matching=True)
     assert out["cls_logits"].shape == (B, N, 2)
     probs = np.exp(np.asarray(out["cls_logits"]))
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from tests.helpers import jit_init
+
 from puzzlefusion_plusplus_tpu.parallel import (
     batch_sharding,
     data_parallel_mesh,
@@ -31,7 +33,8 @@ def test_verifier_train_step_sharded(mesh8):
                                 ff_dim=64)
     E = 15
     tx = adamw_reference(1e-3)
-    variables = model.init(
+    variables = jit_init(
+        model,
         jax.random.key(0), jnp.zeros((1, E, 7)), jnp.zeros((1, E, 2), jnp.int32),
         jnp.ones((1, E)), train=False,
     )
@@ -53,7 +56,7 @@ def test_verifier_train_step_sharded(mesh8):
     # agree — XLA's cross-device reduction is semantically the global computation
     from puzzlefusion_plusplus_tpu.training.verifier import loss_fn
 
-    loss_ref, _ = loss_fn(
+    loss_ref, _ = jax.jit(loss_fn, static_argnums=(1, 4))(
         jax.tree.map(jnp.asarray, params0), model,
         {k: jnp.asarray(v) for k, v in batch.items()}, 0.2, True, jax.random.key(1),
     )
@@ -99,7 +102,8 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     model = VerifierTransformer(embed_dim=32, num_layers=1, num_heads=2, max_nodes=6,
                                 ff_dim=64)
     tx = adamw_reference(1e-3)
-    variables = model.init(
+    variables = jit_init(
+        model,
         jax.random.key(0), jnp.zeros((1, 15, 7)), jnp.zeros((1, 15, 2), jnp.int32),
         jnp.ones((1, 15)), train=False,
     )
@@ -131,11 +135,12 @@ def test_denoiser_train_step_sharded(mesh8):
     B, P, N, L, C = 8, 4, 64, 5, 16
     ae = VQVAE(n_embeddings=32, embedding_dim=4, num_point=L, num_dim=C,
                local_decode_pts=8, sa_npoints=(16, 8), sa_nsamples=(4, 8, 8))
-    ae_vars = ae.init(jax.random.key(0), jnp.zeros((1, N, 3)), train=False)
+    ae_vars = jit_init(ae, jax.random.key(0), jnp.zeros((1, N, 3)), train=False)
     encoder = make_frozen_encoder(ae, ae_vars["params"], ae_vars.get("batch_stats", {}))
     model = DenoiserTransformer(embed_dim=32, num_layers=2, num_heads=2, num_dim=C,
                                 num_point=L, max_parts=P)
-    variables = model.init(
+    variables = jit_init(
+        model,
         jax.random.key(1),
         jnp.zeros((1, P, 7)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, P, L, C)), jnp.zeros((1, P, L, 3)),
@@ -162,7 +167,7 @@ def test_denoiser_train_step_sharded(mesh8):
     loss_sharded = float(metrics["mse_loss"])
     assert np.isfinite(loss_sharded)
 
-    loss_ref, _ = loss_fn(
+    loss_ref, _ = jax.jit(loss_fn, static_argnums=(1, 2, 6))(
         jax.tree.map(jnp.asarray, params0), model, encoder, ddpm,
         {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.key(2), True,
     )
