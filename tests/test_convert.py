@@ -3,6 +3,8 @@ of the verifier encoder layer against torch.nn.TransformerEncoderLayer (the refe
 layer class, verifier_transformer.py:17-30)."""
 
 import numpy as np
+
+from tests.helpers import jit_apply, jit_init
 import jax
 import jax.numpy as jnp
 import pytest
@@ -123,11 +125,12 @@ def _fake_sd_vqvae():
 def test_vqvae_converter_structure_matches_flax():
     tree = convert_vqvae(_fake_sd_vqvae())
     model = VQVAE()
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 3)), train=False)
+    variables = jit_init(model, jax.random.key(0), jnp.zeros((1, 64, 3)), train=False)
     assert tree_shapes(tree["params"]) == tree_shapes(variables["params"])
     assert tree_shapes(tree["batch_stats"]) == tree_shapes(variables["batch_stats"])
     # converted params must actually run through the model
-    out = model.apply(
+    out = jit_apply(
+        model,
         {"params": jax.tree.map(jnp.asarray, tree["params"]),
          "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"])},
         jnp.ones((1, 64, 3)) * 0.1, train=False,
@@ -176,14 +179,16 @@ def test_denoiser_converter_structure_matches_flax():
     model = DenoiserTransformer(embed_dim=C, num_layers=layers, num_heads=4,
                                 num_dim=64, num_point=5, max_parts=4)
     B, P, L = 1, 4, 5
-    variables = model.init(
+    variables = jit_init(
+        model,
         jax.random.key(0),
         jnp.zeros((B, P, 7)), jnp.zeros((B,), jnp.int32),
         jnp.zeros((B, P, L, 64)), jnp.zeros((B, P, L, 3)),
         jnp.ones((B, P)), jnp.ones((B, P, 1)), jnp.zeros((B, P), bool), train=False,
     )
     assert tree_shapes(tree["params"]) == tree_shapes(variables["params"])
-    out = model.apply(
+    out = jit_apply(
+        model,
         {"params": jax.tree.map(jnp.asarray, tree["params"])},
         jnp.zeros((B, P, 7)), jnp.zeros((B,), jnp.int32),
         jnp.zeros((B, P, L, 64)), jnp.zeros((B, P, L, 3)),
@@ -209,8 +214,8 @@ def test_verifier_converter_structure_matches_flax():
     sd["mlp_out.bias"] = torch.randn(1)
     tree = convert_verifier(sd)
     model = VerifierTransformer(embed_dim=C, num_layers=2, num_heads=4, max_nodes=6, ff_dim=64)
-    variables = model.init(
-        jax.random.key(0), jnp.zeros((1, 15, 7)), jnp.zeros((1, 15, 2), jnp.int32),
+    variables = jit_init(
+        model, jax.random.key(0), jnp.zeros((1, 15, 7)), jnp.zeros((1, 15, 2), jnp.int32),
         jnp.ones((1, 15)), train=False,
     )
     assert tree_shapes(tree["params"]) == tree_shapes(variables["params"])

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from tests.helpers import jit_apply
+
 torch = pytest.importorskip("torch")
 nn = torch.nn
 
@@ -218,8 +220,8 @@ def test_denoiser_transformer_full_forward_parity():
     model = DenoiserTransformer(embed_dim=C, num_layers=layers, num_heads=heads,
                                 num_dim=num_dim, num_point=L, max_parts=P)
     x, t, latent, xyz, valids, scale, ref = [jnp.asarray(a) for a in inputs]
-    out = model.apply({"params": jax.tree.map(jnp.asarray, params)},
-                      x, t.astype(jnp.int32), latent, xyz, valids, scale, ref, train=False)
+    out = jit_apply(model, {"params": jax.tree.map(jnp.asarray, params)},
+                    x, t.astype(jnp.int32), latent, xyz, valids, scale, ref, train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5)
 
 
@@ -262,8 +264,9 @@ def test_denoiser_encoder_layer_parity():
     tok_valid = np.repeat(valids.astype(bool), L, axis=1)
     gen_bias = jnp.where(jnp.asarray(tok_valid), 0.0, -1e9)[:, None, None, :]
     layer = EncoderLayer(C, heads, 6 * C, dropout=0.0)
-    out = layer.apply({"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x),
-                      self_bias, gen_bias, jnp.asarray(timestep.astype(np.int32)), False)
+    out = jax.jit(layer.apply, static_argnums=5)(
+        {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x),
+        self_bias, gen_bias, jnp.asarray(timestep.astype(np.int32)), False)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5)
 
 
@@ -363,7 +366,8 @@ def test_pn2_encode_parity_batchnorm_eval():
                 sa_npoints=sa_np, sa_nsamples=sa_ns)
     variables = {"params": jax.tree.map(jnp.asarray, tree["params"]["pn2"]),
                  "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"]["pn2"])}
-    feat, l3_xyz = model.apply(variables, jnp.asarray(xyz), False, idx, method=PN2.encode)
+    feat, l3_xyz = jax.jit(model.apply, static_argnums=2, static_argnames="method")(
+        variables, jnp.asarray(xyz), False, idx, method=PN2.encode)
     np.testing.assert_allclose(np.asarray(l3_xyz), ref_xyz.numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(feat), ref_feat.numpy(), atol=2e-4)
 
@@ -389,9 +393,11 @@ def test_vqvae_encode_quantize_decode_parity():
                   local_decode_pts=40, sa_npoints=sa_np, sa_nsamples=sa_ns)
     variables = {"params": jax.tree.map(jnp.asarray, tree["params"]),
                  "batch_stats": jax.tree.map(jnp.asarray, tree["batch_stats"])}
-    enc = model.apply(variables, jnp.asarray(xyz), False, idx, method=VQVAE.encode)
+    enc = jax.jit(model.apply, static_argnums=2, static_argnames="method")(
+        variables, jnp.asarray(xyz), False, idx, method=VQVAE.encode)
     np.testing.assert_allclose(np.asarray(enc["z_q"]), z_q.numpy(), atol=2e-4)
-    dec = model.apply(variables, enc["z_q"], method=VQVAE.decode)
+    dec = jax.jit(model.apply, static_argnames="method")(
+        variables, enc["z_q"], method=VQVAE.decode)
     np.testing.assert_allclose(np.asarray(dec), ref_dec.numpy(), atol=5e-4)
 
 
