@@ -98,8 +98,11 @@ print(f"[{time.time()-t0:.0f}s] wrote {len(results)} shapes, {n_edges} edges "
 
 # ---- engine comparison: model-generated vs GT-synthetic matching data
 dn_ckpt = ROOT + "/out/everyday/denoiser/ckpt"
-if not os.path.isdir(dn_ckpt):
-    print("main-pipeline checkpoints absent (synthetic_train_eval.py still running?) — "
+need = (dn_ckpt, ROOT + "/out/everyday/vqvae/ckpt", ROOT + "/out/everyday/verifier/ckpt")
+if not all(os.path.isdir(d) for d in need):
+    # requiring ALL THREE stages' checkpoints: a partial set (e.g. a run killed before
+    # stage 3) would crash the engine restore and crash-loop the supervisor queue
+    print("main-pipeline checkpoints incomplete (synthetic_train_eval.py still running?) — "
           "skipping the engine comparison", flush=True)
     sys.exit(0)
 

@@ -24,7 +24,10 @@ fi
 # (VERDICT r2 #2a/#2c); reuses the 512-shape gen set
 if [ ! -f /tmp/matcher_tpu.done ]; then
   echo "=== stage B: matcher_train_eval $(date -u +%H:%M:%S)"
-  N_TRAIN=512 N_VAL=32 EPOCHS=120 python scripts/matcher_train_eval.py || exit 1
+  # 4096-shape set: same step budget as 120ep@512 but the engine comparison then uses
+  # the fresh stage-A checkpoints (the old 512 run died before its verifier stage)
+  N_TRAIN=4096 N_VAL=32 EPOCHS=20 VAL_EVERY=2 MAT_EPOCH=2 RIG_EPOCH=16 \
+    python scripts/matcher_train_eval.py || exit 1
   touch /tmp/matcher_tpu.done
 fi
 
