@@ -46,7 +46,8 @@ def make_model(pc_feat_dim=128, aff_feat_dim=512, encoder="pointnet2",
                        cls_method=cls_method, num_classes=num_classes)
 
 
-def loss_fn(params, batch_stats, model, batch, w_mat, w_rig, train, rng):
+def loss_fn(params, batch_stats, model, batch, w_mat, w_rig, train, rng,
+            cls_pos_weight: float = 1.0):
     pid = batch["piece_id"]
     n_valid = batch["part_valids"].sum(-1).astype(jnp.int32)
     labels = mops.fracture_point_labels(
@@ -64,7 +65,11 @@ def loss_fn(params, batch_stats, model, batch, w_mat, w_rig, train, rng):
     gt = labels.astype(jnp.float32)
     if model.cls_method == "binary":
         bce = jnp.maximum(logits, 0) - logits * gt + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        cls_loss = (bce * w).sum() / jnp.maximum(w.sum(), 1.0)
+        # cls_pos_weight > 1 up-weights fracture-point positives (~18% of points); the
+        # reference's plain BCE (joint_seg_align_model.py:301) is the 1.0 default — its
+        # all-negative base-rate minimum takes O(100) epochs to escape at these ratios
+        wc = w * jnp.where(gt > 0, jnp.float32(cls_pos_weight), 1.0)
+        cls_loss = (bce * wc).sum() / jnp.maximum(wc.sum(), 1.0)
     else:  # NLL over log-softmax logits (joint_seg_align_model.py:303-304)
         nll = -jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
         cls_loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
@@ -98,13 +103,16 @@ def loss_fn(params, batch_stats, model, batch, w_mat, w_rig, train, rng):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "tx", "w_mat", "w_rig"),  # one specialization per loss stage
+    # one specialization per loss stage
+    static_argnames=("model", "tx", "w_mat", "w_rig", "cls_pos_weight"),
     donate_argnames=("state",),
 )
-def train_step(state: TrainState, batch, w_mat, w_rig, rng, model, tx):
+def train_step(state: TrainState, batch, w_mat, w_rig, rng, model, tx,
+               cls_pos_weight: float = 1.0):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     (_, (metrics, new_stats, *_)), grads = grad_fn(
-        state.params, state.batch_stats, model, batch, w_mat, w_rig, True, rng
+        state.params, state.batch_stats, model, batch, w_mat, w_rig, True, rng,
+        cls_pos_weight,
     )
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
@@ -167,6 +175,7 @@ def train_matching(
     val_data_dir: str | None = None,
     val_every: int = 50,
     top_k: int = 10,
+    cls_pos_weight: float = 1.0,
 ) -> TrainState:
     model = model or make_model()
     ds = AllPieceMatchingDataset(data_dir, num_points=num_points, max_num_part=max_num_part)
@@ -206,7 +215,7 @@ def train_matching(
             rng, k = jax.random.split(rng)
             state, metrics = train_step(
                 state, {k2: jnp.asarray(v) for k2, v in numeric_batch(batch).items()},
-                w_mat, w_rig, k, model, tx,
+                w_mat, w_rig, k, model, tx, cls_pos_weight,
             )
             if step % 20 == 0:
                 logger.log(step, epoch=epoch, **jax.device_get(metrics))

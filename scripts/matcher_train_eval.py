@@ -40,6 +40,9 @@ EPOCHS = int(os.environ.get("EPOCHS", "120"))
 BATCH = int(os.environ.get("BATCH", "4"))
 NUM_POINTS = int(os.environ.get("NUM_POINTS", "2000"))
 VAL_EVERY = int(os.environ.get("VAL_EVERY", "10"))
+# >1 escapes plain BCE's all-negative base-rate minimum (~18% positives) in epochs
+# instead of the reference's O(100); 1.0 restores exact reference loss parity
+POS_WEIGHT = float(os.environ.get("POS_WEIGHT", "4.0"))
 MAT_EPOCH = int(os.environ.get("MAT_EPOCH", str(max(EPOCHS * 10 // 250, 1))))
 RIG_EPOCH = int(os.environ.get("RIG_EPOCH", str(EPOCHS * 200 // 250)))
 
@@ -73,6 +76,7 @@ state = train_matching(
     model=model,
     val_data_dir=ROOT + "/pc_data/val",
     val_every=VAL_EVERY,
+    cls_pos_weight=POS_WEIGHT,
 )
 print(f"[{time.time()-t0:.0f}s] matcher training done", flush=True)
 

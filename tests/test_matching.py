@@ -206,6 +206,34 @@ def test_jigsaw_model_multiclass_head():
     assert np.isfinite(float(metrics["cls_loss"]))
 
 
+def test_cls_pos_weight_reweights_bce(tiny_jigsaw):
+    """cls_pos_weight=1 is exact reference BCE parity; >1 shifts the loss toward the
+    positive (fracture-point) terms — an all-negative predictor gets strictly worse."""
+    from puzzlefusion_plusplus_tpu.matching.train import loss_fn
+
+    rng = np.random.default_rng(3)
+    B, N = 1, 128
+    pcs = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    pid = mops.piece_ids(jnp.asarray([[64, 64, 0]]), N)
+    variables = jit_init(tiny_jigsaw, jax.random.key(2), pcs, pid, jnp.asarray([2]),
+                         jnp.zeros((B, N), jnp.int32), train=False, compute_matching=True)
+    # bias the cls head strongly negative: every point predicted non-critical
+    params = jax.tree.map(jnp.asarray, variables["params"])
+    params["cls_head"]["bias"] = params["cls_head"]["bias"] - 10.0
+    batch = {
+        "part_pcs": pcs, "gt_pcs": pcs, "piece_id": pid,
+        "part_valids": jnp.asarray([[1.0, 1.0, 0.0]]),
+        "critical_label_thresholds": jnp.full((B, N), 0.2),
+    }
+    args = (variables.get("batch_stats", {}), tiny_jigsaw, batch, 0.0, 0.0, False,
+            jax.random.key(1))
+    _, (m1, *_) = loss_fn(params, *args)  # default weight
+    _, (m1b, *_) = loss_fn(params, *args, cls_pos_weight=1.0)
+    np.testing.assert_allclose(float(m1["cls_loss"]), float(m1b["cls_loss"]))
+    _, (m4, *_) = loss_fn(params, *args, cls_pos_weight=4.0)
+    assert float(m4["cls_loss"]) > float(m1["cls_loss"])
+
+
 def test_matching_training_step(tmp_path):
     from puzzlefusion_plusplus_tpu.data import generate_dataset
     from puzzlefusion_plusplus_tpu.matching.train import make_model, train_matching
