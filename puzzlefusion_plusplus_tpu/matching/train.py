@@ -26,6 +26,11 @@ from puzzlefusion_plusplus_tpu.matching.model import (
     rigid_loss_pairs,
 )
 from puzzlefusion_plusplus_tpu.matching.sinkhorn import _hungarian_host
+from puzzlefusion_plusplus_tpu.parallel import (
+    data_parallel_mesh,
+    replicate,
+    shard_batch,
+)
 from puzzlefusion_plusplus_tpu.training.state import (
     MetricsLogger,
     TopKCheckpointer,
@@ -176,8 +181,12 @@ def train_matching(
     val_every: int = 50,
     top_k: int = 10,
     cls_pos_weight: float = 1.0,
+    num_devices: int = 1,
 ) -> TrainState:
+    """``num_devices``: data-parallel device count (the reference Jigsaw's DDP default,
+    utils/config.py:104); -1 = all local devices. batch_size must divide by it."""
     model = model or make_model()
+    mesh = data_parallel_mesh(num_devices)
     ds = AllPieceMatchingDataset(data_dir, num_points=num_points, max_num_part=max_num_part)
     loader = Loader(ds, batch_size, seed=seed)
     val_loader = None
@@ -200,7 +209,7 @@ def train_matching(
         jnp.zeros(sample["piece_id"].shape, jnp.int32),
         train=False, compute_matching=True,
     )
-    state = create_state(variables, tx)
+    state = replicate(create_state(variables, tx), mesh)
     logger = MetricsLogger(out_dir)
     # top-k retention on val mat_f1 + auto-resume (reference ModelCheckpoint top-10 on
     # val/mat_f1 + resume rule, Jigsaw_matching/train_matching.py:41-49, 77-101)
@@ -214,7 +223,7 @@ def train_matching(
         for batch in prefetch_batches(loader):
             rng, k = jax.random.split(rng)
             state, metrics = train_step(
-                state, {k2: jnp.asarray(v) for k2, v in numeric_batch(batch).items()},
+                state, shard_batch(numeric_batch(batch), mesh),
                 w_mat, w_rig, k, model, tx, cls_pos_weight,
             )
             if step % 20 == 0:
@@ -228,9 +237,11 @@ def train_matching(
                 accs = []
                 for vb in val_loader:
                     rng, k = jax.random.split(rng)
+                    # val batches replicate (not shard): ragged final batches need no
+                    # divisibility and metrics stay exact; redundancy only costs at val
                     m = jax.device_get(eval_step(
                         state.params, state.batch_stats,
-                        {k2: jnp.asarray(v) for k2, v in numeric_batch(vb).items()},
+                        replicate(numeric_batch(vb), mesh),
                         k, model,
                     ))
                     accs.append({k2: float(np.mean(v)) for k2, v in m.items()})
@@ -257,6 +268,8 @@ def main(argv=None):
         val_data_dir=args.get("val_data_dir") or None,
         val_every=int(args.get("val_every", 50)),
         max_steps=int(args["max_steps"]) if "max_steps" in args else None,
+        cls_pos_weight=float(args.get("cls_pos_weight", 1.0)),
+        num_devices=int(args.get("num_devices", 1)),
     )
 
 

@@ -309,3 +309,51 @@ def test_run_inference_shards_and_pads(tmp_path_factory):
     assert agg["num_samples"] == 5  # padded rows sliced off, only real samples counted
     for k in ("eval/part_acc", "eval/shape_cd", "eval/rmse_r", "eval/rmse_t"):
         assert np.isfinite(agg[k]), k
+
+
+def test_matcher_train_step_sharded(mesh8):
+    """Jigsaw matcher train step over a data-sharded batch (the reference trains Jigsaw
+    with DDP by default, Jigsaw_matching/utils/config.py:104): sharded == unsharded loss."""
+    import optax
+
+    from tests.helpers import jit_init
+
+    from puzzlefusion_plusplus_tpu.matching import ops as mops
+    from puzzlefusion_plusplus_tpu.matching.train import loss_fn, make_model, train_step
+    from puzzlefusion_plusplus_tpu.training.state import create_state
+
+    model = make_model(pc_feat_dim=32, aff_feat_dim=16, sa_npoints=(32, 16, 8, 4))
+    B, N = 8, 128
+    rng = np.random.default_rng(5)
+    n_pcs = np.zeros((B, 3), np.int64)
+    n_pcs[:, :2] = 64  # two valid pieces per shape
+    pid = mops.piece_ids(jnp.asarray(n_pcs), N)
+    batch = {
+        "part_pcs": rng.normal(size=(B, N, 3)).astype(np.float32),
+        "gt_pcs": rng.normal(size=(B, N, 3)).astype(np.float32) * 0.1,
+        "piece_id": np.asarray(pid),
+        "part_valids": np.tile(np.array([[1.0, 1.0, 0.0]], np.float32), (B, 1)),
+        "critical_label_thresholds": np.full((B, N), 0.2, np.float32),
+    }
+    variables = jit_init(model, jax.random.key(0), jnp.asarray(batch["part_pcs"]), pid,
+                         jnp.asarray([2] * B), jnp.zeros((B, N), jnp.int32),
+                         train=False, compute_matching=True)
+    params0 = jax.device_get(variables["params"])
+    stats0 = jax.device_get(variables.get("batch_stats", {}))
+    tx = optax.adam(1e-3)
+    state = replicate(create_state(variables, tx), mesh8)
+
+    sharded = shard_batch(batch, mesh8)
+    assert sharded["part_pcs"].sharding == batch_sharding(mesh8)
+    state2, metrics = train_step(state, sharded, 1.0, 0.0, jax.random.key(1), model, tx, 4.0)
+    assert int(state2.step) == 1
+    loss_sharded = float(metrics["loss"])
+    assert np.isfinite(loss_sharded)
+
+    loss_ref, _ = jax.jit(loss_fn, static_argnums=(2, 4, 5, 6, 8))(
+        jax.tree.map(jnp.asarray, params0), jax.tree.map(jnp.asarray, stats0), model,
+        {k: jnp.asarray(v) for k, v in batch.items()}, 1.0, 0.0, True, jax.random.key(1),
+        4.0,
+    )
+    np.testing.assert_allclose(loss_sharded, float(loss_ref), rtol=2e-5)
+    assert jax.tree.leaves(state2.params)[0].sharding.is_fully_replicated
