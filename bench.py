@@ -244,7 +244,9 @@ def main() -> None:
     if int(os.environ.get("PFPP_BENCH_BUCKET", "1")):
         from puzzlefusion_plusplus_tpu.data.bucketing import part_bucket, slice_batch_parts
 
-        P_b = part_bucket(int(np.max(batch["num_parts"])), cap=cfg.data.max_num_part)
+        P_b = part_bucket(int(np.max(batch["num_parts"])),
+                          cfg.inference.part_bucket_multiple or 4,
+                          cap=cfg.data.max_num_part)
         batch = slice_batch_parts(batch, P_b)
     sample = {k: jnp.asarray(batch[k][:batch_size]) for k in SAMPLE_KEYS}
     n = sample["part_pcs"].shape[0]
