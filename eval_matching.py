@@ -13,6 +13,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    if int(args.get("oracle", 0)):
+        # metric-ceiling mode: no model — report the best F1 any distance-informed matcher
+        # can score on this data at this sampling density (matching/oracle.py)
+        import json
+
+        from puzzlefusion_plusplus_tpu.matching.oracle import oracle_matching_stats
+
+        stats = oracle_matching_stats(
+            args["data_dir"],
+            num_points=int(args.get("num_points", 1000)),
+            max_num_part=int(args.get("max_num_part", 20)),
+            num_shapes=int(args["max_samples"]) if "max_samples" in args else None,
+        )
+        print(json.dumps(stats))
+        return
     from puzzlefusion_plusplus_tpu.matching.generate import generate_matching_data
     from puzzlefusion_plusplus_tpu.matching.train import make_model
     from puzzlefusion_plusplus_tpu.training.state import load_checkpoint

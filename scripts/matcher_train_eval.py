@@ -60,8 +60,15 @@ if not os.path.exists(ROOT + "/.done"):
                      min_parts=2, max_parts=20, n_points=1000)
     open(ROOT + "/.done", "w").write("ok")
 
+from puzzlefusion_plusplus_tpu.matching.oracle import oracle_matching_stats
 from puzzlefusion_plusplus_tpu.matching.train import make_model, train_matching
 
+# the metric's structural ceiling at this operating point (matching/oracle.py): the
+# held-out mat_f1 curve below should be read as achieved/oracle, not raw
+oracle = oracle_matching_stats(ROOT + "/pc_data/val", num_points=NUM_POINTS,
+                               num_shapes=min(N_VAL, 16))
+print(f"[{time.time()-t0:.0f}s] val oracle ceiling @ {NUM_POINTS} pts: "
+      f"{json.dumps(oracle)}", flush=True)
 print(f"[{time.time()-t0:.0f}s] matcher: {EPOCHS} epochs, batch {BATCH}, "
       f"{NUM_POINTS} pts, mat@{MAT_EPOCH} rig@{RIG_EPOCH}", flush=True)
 model = make_model()

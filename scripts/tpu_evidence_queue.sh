@@ -27,9 +27,11 @@ if [ ! -f /tmp/matcher_tpu.done ]; then
   # 4096-shape set: same step budget as 120ep@512 but the engine comparison then uses
   # the fresh stage-A checkpoints (the old 512 run died before its verifier stage)
   # NUM_POINTS: the reference trains at 5000 pts/shape (NUM_PC_POINTS,
-  # jigsaw_4x4_128_512_250e_cosine_everyday.yaml:29); 2500 keeps >=125 pts/part at P=20
-  # within one chip's sinkhorn memory at batch 2
-  N_TRAIN=4096 N_VAL=32 EPOCHS=10 BATCH=2 NUM_POINTS=2500 VAL_EVERY=1 \
+  # jigsaw_4x4_128_512_250e_cosine_everyday.yaml:29) — but the mat_f1 metric's oracle
+  # ceiling FALLS with density (matching/oracle.py; measured on the 4096 val split:
+  # 0.70 @ 1000 pts vs 0.44 @ 2500), and sinkhorn is O(N^2): 1000 pts gives the most
+  # metric headroom per FLOP. The script logs the ceiling next to the curve.
+  N_TRAIN=4096 N_VAL=32 EPOCHS=10 BATCH=4 NUM_POINTS=1000 VAL_EVERY=1 \
     MAT_EPOCH=1 RIG_EPOCH=8 python scripts/matcher_train_eval.py || exit 1
   touch /tmp/matcher_tpu.done
 fi

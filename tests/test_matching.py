@@ -333,3 +333,63 @@ def test_matching_val_topk_retention(tmp_path):
     assert int(state2.step) > int(state.step)
     steps2 = {d for d in os.listdir(ckpt) if d.startswith("step_")}
     assert steps1 <= steps2 or len(steps2) >= len(steps1)  # no silent overwrite of retained
+
+
+def test_oracle_f1_mutual_pairs_is_one():
+    """Perfectly mutual NN pairs across two pieces -> the Hungarian oracle hits every
+    argmin row: ceiling 1.0 (matching/oracle.py)."""
+    from puzzlefusion_plusplus_tpu.matching.oracle import oracle_f1_single
+
+    k = 5
+    p0 = np.stack([np.zeros(k), np.arange(k, dtype=np.float64), np.zeros(k)], -1)
+    p1 = p0 + np.array([0.01, 0.0, 0.0])  # each point's cross-NN is its twin
+    gt = np.concatenate([p0, p1]).astype(np.float32)
+    pid = np.concatenate([np.zeros(k, np.int32), np.ones(k, np.int32)])
+    out = oracle_f1_single(gt, pid, threshold=0.025)
+    assert out["n_crit"] == 2 * k
+    assert out["mutual_nn_frac"] == 1.0
+    assert out["oracle_f1"] == 1.0
+
+
+def test_oracle_f1_non_mutual_below_one():
+    """Two piece-1 points share the same piece-0 argmin -> the GT 'permutation' is not
+    one-to-one and no assignment can reach F1 1. Expected value by brute force: rows
+    {p0->q_near (mutual), q_near->p0, q_far->p0}; the one-to-one oracle satisfies at most
+    2 of 3 rows -> 2/3."""
+    from puzzlefusion_plusplus_tpu.matching.oracle import oracle_f1_single
+
+    p0 = np.array([[0.0, 0.0, 0.0]])
+    q = np.array([[0.01, 0.0, 0.0], [0.012, 0.0, 0.0]])  # both NN -> p0
+    gt = np.concatenate([p0, q]).astype(np.float32)
+    pid = np.array([0, 1, 1], np.int32)
+    out = oracle_f1_single(gt, pid, threshold=0.05)
+    assert out["n_crit"] == 3
+    assert out["mutual_nn_frac"] == pytest.approx(2.0 / 3.0)
+    assert out["oracle_f1"] == pytest.approx(2.0 / 3.0)
+
+
+def test_oracle_stats_on_synthetic_dir(tmp_path):
+    from puzzlefusion_plusplus_tpu.data import generate_dataset
+    from puzzlefusion_plusplus_tpu.matching.oracle import oracle_matching_stats
+
+    root = str(tmp_path)
+    generate_dataset(root, num_shapes=2, seed=0, split="train", min_parts=2, max_parts=3,
+                     n_points=400)
+    stats = oracle_matching_stats(root + "/pc_data/train", num_points=300, num_shapes=2)
+    assert 0.0 < stats["oracle_f1"] <= 1.0
+    assert 0.0 < stats["mutual_nn_frac"] <= 1.0
+    assert stats["num_shapes"] == 2
+
+
+def test_oracle_assignment_ceiling_bounds_oracle():
+    """distinct(gt_nn)/n upper-bounds the distance-oracle; both 1.0 when mutual, 2/3 in
+    the collision case above."""
+    from puzzlefusion_plusplus_tpu.matching.oracle import oracle_f1_single
+
+    p0 = np.array([[0.0, 0.0, 0.0]])
+    q = np.array([[0.01, 0.0, 0.0], [0.012, 0.0, 0.0]])
+    gt = np.concatenate([p0, q]).astype(np.float32)
+    pid = np.array([0, 1, 1], np.int32)
+    out = oracle_f1_single(gt, pid, threshold=0.05)
+    assert out["assignment_ceiling"] == pytest.approx(2.0 / 3.0)
+    assert out["oracle_f1"] <= out["assignment_ceiling"] + 1e-9
