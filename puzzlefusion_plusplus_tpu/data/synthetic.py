@@ -49,9 +49,21 @@ def _make_solid(rng: np.random.Generator) -> dict:
             return np.sum((x / radii) ** 2, axis=-1) <= 1.0
 
         def sample_surface(n, r):
-            u = r.normal(size=(n, 3))
-            u /= np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-9)
-            return (u * radii).astype(np.float64)
+            # area-weighted: naive u*radii oversamples high-curvature poles; for direction
+            # u the area element scales by g(u) = |(u1*b*c, u2*a*c, u3*a*b)|, so rejection
+            # with prob g/g_max gives uniform-by-area density (exact, like box/cylinder)
+            w = np.array([radii[1] * radii[2], radii[0] * radii[2], radii[0] * radii[1]])
+            g_max = w.max()
+            out = []
+            got = 0
+            while got < n:
+                u = r.normal(size=(2 * (n - got) + 16, 3))
+                u /= np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-9)
+                g = np.sqrt(((u * w) ** 2).sum(axis=1))
+                u = u[r.random(len(u)) * g_max < g]
+                out.append(u)
+                got += len(u)
+            return (np.concatenate(out)[:n] * radii).astype(np.float64)
 
     elif kind == 1:  # box
         half = rng.uniform(0.2, 0.5, size=3)
@@ -204,6 +216,32 @@ def fracture_shape(
                     frontier.append(int(j))
         if counts.min() >= min_pool and len(seen) == num_parts:
             break
+    else:
+        # 30 rejections (high part counts on small solids): repair the last attempt instead
+        # of emitting it unchecked — an empty pool would crash _resample and a disconnected
+        # graph breaks the connected-object property downstream consumers assume.
+        for i in range(num_parts):
+            deficit = min_pool - len(pools[i])
+            if deficit > 0:
+                # top up from the volume points nearest cell i's field (duplication across
+                # parts is fine: each fragment carries its own sampling of shared regions)
+                take = np.argpartition(f_vol[:, i], deficit)[:deficit]
+                pools[i] = np.concatenate([pools[i], vol[take]], axis=0)
+        while len(seen) < num_parts:  # bridge components via the closest seed pair
+            sl = sorted(seen)
+            out_ = [j for j in range(num_parts) if j not in seen]
+            d = ((seeds[sl][:, None, :] - seeds[out_][None, :, :]) ** 2).sum(-1)
+            a, b = divmod(int(d.argmin()), len(out_))
+            si, oj = sl[a], out_[b]
+            graph[si, oj] = graph[oj, si] = True
+            seen.add(oj)
+            frontier = [oj]
+            while frontier:  # absorb anything already linked to the bridged node
+                k_ = frontier.pop()
+                for m in np.where(graph[k_])[0]:
+                    if m not in seen:
+                        seen.add(int(m))
+                        frontier.append(int(m))
     dense_parts = pools
 
     part_pcs = np.stack([_resample(p, n_points, rng) for p in dense_parts])  # [P, N, 3]
