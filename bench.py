@@ -30,6 +30,43 @@ if "--help" in sys.argv or "-h" in sys.argv:
           " PFPP_BENCH_REPEATS, PFPP_BENCH_DATA, PFPP_BENCH_PRECISION, PFPP_BENCH_AOT")
     sys.exit(0)
 
+def _ensure_backend() -> None:
+    """Probe backend init in a SUBPROCESS with a timeout and bounded retries; on
+    persistent failure emit ONE parseable JSON line and exit 0 (VERDICT r3 #2: a hung
+    axon tunnel makes in-process ``jax.devices()`` block forever — no try/except can
+    catch it — and BENCH_r03.json ended up rc=1 with ``parsed: null``)."""
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu" or "--cpu-baseline" in sys.argv:
+        return  # host CPU backend cannot be "down"
+    retries = int(os.environ.get("PFPP_BENCH_PROBE_RETRIES", "3"))
+    sleep_s = float(os.environ.get("PFPP_BENCH_PROBE_SLEEP", "60"))
+    probe_timeout = float(os.environ.get("PFPP_BENCH_PROBE_TIMEOUT", "420"))
+    probe_cmd = os.environ.get(
+        "PFPP_BENCH_PROBE_CMD",  # injectable for tests (kill-the-backend simulation)
+        f"{sys.executable} -c \"import jax; d = jax.devices(); print('BACKEND_OK')\"")
+    last = ""
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(probe_cmd, shell=True, capture_output=True, text=True,
+                               timeout=probe_timeout)
+            if r.returncode == 0 and "BACKEND_OK" in r.stdout:
+                return
+            last = (r.stderr or r.stdout).strip()[-400:]
+        except subprocess.TimeoutExpired:
+            last = f"backend init timed out after {probe_timeout:.0f}s"
+        if attempt < retries - 1:
+            time.sleep(sleep_s)
+    print(json.dumps({
+        "metric": "assemblies_per_sec_per_chip", "value": 0.0, "unit": "assemblies/s",
+        "vs_baseline": 0.0, "backend_unavailable": True,
+        "error": last or "backend probe failed",
+    }))
+    sys.exit(0)
+
+
+_ensure_backend()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,14 +105,41 @@ def _ensure_data(data_dir: str = None, max_parts: int = 12) -> str:
     return data_dir
 
 
-def _code_fingerprint(extra: tuple) -> str:
-    """Hash of the package sources + jax version + the shapes/config tuple: the staleness
-    guard for serialized engine executables (a stale binary would silently run old code)."""
-    import hashlib
-
+def _runtime_id() -> tuple:
+    """Identify the full runtime the executable was compiled under: jax version, device
+    kind, and the PJRT/libtpu platform build string. A libtpu upgrade under the same jax
+    version must invalidate serialized AOT executables (VERDICT r3 weak #4 /
+    MULTICHIP_r01's 'may diverge from the terminal's runtime' failure class)."""
     import jax as _jax
 
-    h = hashlib.sha256(repr((_jax.__version__, extra)).encode())
+    parts = [_jax.__version__]
+    try:
+        parts.append(_jax.devices()[0].device_kind)
+    except Exception:
+        parts.append("no-device")
+    try:
+        from jax.extend import backend as _xb
+
+        parts.append(str(_xb.get_backend().platform_version))
+    except Exception:
+        parts.append("no-platform-version")
+    for pkg in ("libtpu", "libtpu-nightly"):
+        try:
+            from importlib.metadata import version
+
+            parts.append(f"{pkg}={version(pkg)}")
+        except Exception:
+            pass
+    return tuple(parts)
+
+
+def _code_fingerprint(extra: tuple) -> str:
+    """Hash of the package sources + runtime identity (jax + device kind + PJRT/libtpu
+    build, see _runtime_id) + the shapes/config tuple: the staleness guard for serialized
+    engine executables (a stale binary would silently run old code or an old runtime)."""
+    import hashlib
+
+    h = hashlib.sha256(repr((_runtime_id(), extra)).encode())
     pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "puzzlefusion_plusplus_tpu")
     for root, _dirs, files in sorted(os.walk(pkg)):
@@ -158,18 +222,19 @@ def serving_main(full_range: bool = False) -> None:
     ds = DenoiserDataset(cfg.data.data_val_dir, mode="test",
                          matching_data_path=cfg.data.matching_data_path,
                          max_num_part=cfg.data.max_num_part)
-    order = np.argsort(ds.num_parts_list(), kind="stable")
+    bucket_mult = cfg.inference.part_bucket_multiple
+    order = np.argsort(ds.num_parts_list(), kind="stable") if bucket_mult else None
     loader = Loader(ds, BATCH, shuffle=False, drop_last=False, seed=0, order=order)
     engine = build_engine_fn(cfg)
 
     batches = []
     for batch in loader:
-        # use the production serving policy's own bucket multiple (inference/run.py) so the
-        # metric cannot drift from what run_inference actually serves
-        P_b = part_bucket(int(np.max(batch["num_parts"])),
-                          cfg.inference.part_bucket_multiple or 4,
-                          cap=cfg.data.max_num_part)
-        batch = slice_batch_parts(batch, P_b)
+        # mirror the production serving policy exactly (inference/run.py): bucket with the
+        # configured multiple, and do NOT bucket at all when the multiple is falsy
+        if bucket_mult:
+            P_b = part_bucket(int(np.max(batch["num_parts"])), bucket_mult,
+                              cap=cfg.data.max_num_part)
+            batch = slice_batch_parts(batch, P_b)
         batches.append({k: jnp.asarray(batch[k]) for k in SAMPLE_KEYS})
     # XLA specializes per (batch_size, part_pad): a trailing partial batch is its own program
     pads = sorted({(int(b["part_pcs"].shape[0]), int(b["part_pcs"].shape[1]))
@@ -241,11 +306,11 @@ def main() -> None:
     # part-count bucketing (data/bucketing.py): slice the batch to the smallest part pad
     # that fits it (padding-invariant engine, property-tested) — production serving would
     # bucket exactly like run_inference does. PFPP_BENCH_BUCKET=0 restores the global pad.
-    if int(os.environ.get("PFPP_BENCH_BUCKET", "1")):
+    if int(os.environ.get("PFPP_BENCH_BUCKET", "1")) and cfg.inference.part_bucket_multiple:
         from puzzlefusion_plusplus_tpu.data.bucketing import part_bucket, slice_batch_parts
 
         P_b = part_bucket(int(np.max(batch["num_parts"])),
-                          cfg.inference.part_bucket_multiple or 4,
+                          cfg.inference.part_bucket_multiple,
                           cap=cfg.data.max_num_part)
         batch = slice_batch_parts(batch, P_b)
     sample = {k: jnp.asarray(batch[k][:batch_size]) for k in SAMPLE_KEYS}

@@ -112,9 +112,13 @@ def nn_distance_pallas(x: jnp.ndarray, y: jnp.ndarray):
 
 def _masked_pair_nn_kernel(mask_ref, x_ref, y_ref, dist_ref, *, m_tiles: int):
     """One (part i, part j, query-tile) program: per-point NN distance of i's tile to j's
-    cloud when mask[i, j] is set, else BIG. Skipped pairs cost ~nothing — this is how the
-    engine's interpenetration test pays only for parts inside merging components
-    (VERDICT r2 #6) while keeping every shape static.
+    cloud when mask[i, j] is set, else BIG. Skipped pairs skip all MXU/VPU compute — but
+    NOT bandwidth: Mosaic still DMAs each program's input blocks (the [1,16,Mp] target
+    slab included) into VMEM unconditionally, so for bandwidth-bound shapes the saving is
+    smaller than active/P^2. This is how the engine's interpenetration test pays compute
+    only for parts inside merging components (VERDICT r2 #6) while keeping every shape
+    static; if the DMA cost ever matters at P=20, compact active pairs into a dense
+    prefix and shrink the grid instead.
 
     No ``program_id`` anywhere: every ref's block is exactly this program's slice, so the
     kernel composes under vmap (batching PREPENDS a grid dim, which would shift
