@@ -219,3 +219,78 @@ def test_verifier_converter_structure_matches_flax():
         jnp.ones((1, 15)), train=False,
     )
     assert tree_shapes(tree["params"]) == tree_shapes(variables["params"])
+
+
+def test_full_three_model_lightning_ckpt_roundtrip(tmp_path):
+    """VERDICT r3 #8: one converter round trip over a synthetically-built set of Lightning
+    checkpoints exercising EVERY key-prefix rule of the reference load path (test.py:24-38
+    'denoiser.'/'encoder.'/'verifier.' splits + train_denoiser.py:32 'ae.' -> '' remap):
+    torch.save -> convert_file -> orbax restore -> exact leaf equality with the in-memory
+    conversion, decoy keys dropped."""
+    import orbax.checkpoint as ocp
+
+    from puzzlefusion_plusplus_tpu.convert.torch_ckpt import (
+        convert_denoiser_checkpoint,
+        convert_file,
+        convert_verifier_checkpoint,
+        convert_vqvae_checkpoint,
+    )
+
+    torch.manual_seed(3)
+    C = 32
+    t_layer = torch.nn.TransformerEncoderLayer(
+        d_model=C, nhead=4, dim_feedforward=64, dropout=0.1, activation="gelu",
+        batch_first=True,
+    )
+    verifier_sd = {}
+    for i in range(2):
+        for k, v in t_layer.state_dict().items():
+            verifier_sd[f"transformer_encoder.layers.{i}.{k}"] = v.clone()
+    verifier_sd["edge_feature_emb.weight"] = torch.randn(C, 7)
+    verifier_sd["edge_feature_emb.bias"] = torch.randn(C)
+    verifier_sd["mlp_out.weight"] = torch.randn(1, C)
+    verifier_sd["mlp_out.bias"] = torch.randn(1)
+
+    decoys = {  # Lightning ckpts carry non-model keys the splits must drop
+        "loss_weights.pos": torch.randn(1),
+        "metrics.train_acc.total": torch.randn(1),
+    }
+    ckpts = {
+        # FractureAE saves the AE under 'ae.' (train_denoiser.py:30-35 remap)
+        "vqvae": {f"ae.{k}": v for k, v in _fake_sd_vqvae().items()},
+        # AutoAgglomerative/Denoiser ckpt: 'denoiser.' + 'encoder.' (test.py:24-33)
+        "denoiser": {
+            **{f"denoiser.{k}": v for k, v in _fake_sd_denoiser().items()},
+            **{f"encoder.{k}": v for k, v in _fake_sd_vqvae().items()},
+        },
+        # Verifier ckpt: 'verifier.' (test.py:35-38)
+        "verifier": {f"verifier.{k}": v for k, v in verifier_sd.items()},
+    }
+    converters = {
+        "vqvae": convert_vqvae_checkpoint,
+        "denoiser": convert_denoiser_checkpoint,
+        "verifier": convert_verifier_checkpoint,
+    }
+
+    ckptr = ocp.StandardCheckpointer()
+    for kind, sd in ckpts.items():
+        full_sd = {**sd, **decoys}
+        pt_path = tmp_path / f"{kind}.ckpt"
+        torch.save({"state_dict": full_sd, "epoch": 7}, pt_path)
+        out_path = convert_file(str(pt_path), str(tmp_path / "orbax"), kind)
+        restored = ckptr.restore(out_path)
+        expected = converters[kind](full_sd)
+        exp_leaves = jax.tree_util.tree_leaves_with_path(expected)
+        got_leaves = jax.tree_util.tree_leaves_with_path(restored)
+        assert len(exp_leaves) == len(got_leaves) > 0, kind
+        for (pe, le), (pg, lg) in zip(exp_leaves, got_leaves):
+            assert pe == pg, (kind, pe, pg)
+            np.testing.assert_array_equal(np.asarray(le), np.asarray(lg),
+                                          err_msg=f"{kind} {pe}")
+        flat = "/".join(str(p) for p, _ in got_leaves)
+        assert "decoy" not in flat and "loss_weights" not in flat and "metrics" not in flat
+
+    # the denoiser split must produce BOTH sub-trees (the engine loads them separately)
+    den = converters["denoiser"](ckpts["denoiser"])
+    assert set(den) == {"denoiser", "encoder"}
+    assert "batch_stats" in den["encoder"]
