@@ -39,9 +39,12 @@ def _ensure_backend() -> None:
 
     if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu" or "--cpu-baseline" in sys.argv:
         return  # host CPU backend cannot be "down"
-    retries = int(os.environ.get("PFPP_BENCH_PROBE_RETRIES", "3"))
+    # worst case must stay well under a driver-side bench timeout: 2 x 300 s hangs + one
+    # 60 s sleep = 11 min to the guaranteed-parseable error line (tunnel warmup is
+    # 60-110 s, so 300 s per attempt is still generous for a healthy backend)
+    retries = int(os.environ.get("PFPP_BENCH_PROBE_RETRIES", "2"))
     sleep_s = float(os.environ.get("PFPP_BENCH_PROBE_SLEEP", "60"))
-    probe_timeout = float(os.environ.get("PFPP_BENCH_PROBE_TIMEOUT", "420"))
+    probe_timeout = float(os.environ.get("PFPP_BENCH_PROBE_TIMEOUT", "300"))
     probe_cmd = os.environ.get(
         "PFPP_BENCH_PROBE_CMD",  # injectable for tests (kill-the-backend simulation)
         f"{sys.executable} -c \"import jax; d = jax.devices(); print('BACKEND_OK')\"")
@@ -161,8 +164,12 @@ def _engine_call_aot(engine, sample, rngs, cfg):
     if not int(os.environ.get("PFPP_BENCH_AOT", "1")):
         return engine, "off"
     shapes = tuple(sorted((k, tuple(v.shape), str(v.dtype)) for k, v in sample.items()))
+    # kernel-selection env knobs are trace-time constants: bake them into the fingerprint
+    # or a cached executable would silently override them
+    knobs = tuple((k, os.environ.get(k, "")) for k in
+                  ("PFPP_SA_GATHER", "PFPP_SA_TILE_ROWS"))
     fp = _code_fingerprint((shapes, tuple(rngs.shape), cfg.trainer.precision,
-                            cfg.inference.batch_size))
+                            cfg.inference.batch_size, knobs))
     aot_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache", "aot")
     os.makedirs(aot_dir, exist_ok=True)
     path = os.path.join(aot_dir, f"engine_{jax.default_backend()}_{fp}.pkl")

@@ -90,7 +90,7 @@ def build_engine_fn(cfg: Config):
         pts = batch["part_pcs"] * batch["part_scale"][..., None]  # original local clouds
         gt_trans, gt_rots = batch["part_trans"], batch["part_rots"]
         valids = batch["part_valids"]
-        acc, _, _ = calc_part_acc(
+        acc, acc_per_part, _ = calc_part_acc(
             pts, out["pred_trans"], gt_trans, out["pred_rots"], gt_rots, valids
         )
         shape_cd = calc_shape_cd(
@@ -98,8 +98,13 @@ def build_engine_fn(cfg: Config):
         )
         rmse_r = rot_metrics(out["pred_rots"], gt_rots, valids, "rmse")
         rmse_t = trans_metrics(out["pred_trans"], gt_trans, valids, "rmse")
+        # ref parts are pinned to GT, so part_acc has a ~0.25 structural floor on a
+        # 2-20-part mix (scripts/part_acc_floor.py); nonref excludes the give-away parts
+        nonref = (valids == 1) & ~batch["ref_part"].astype(bool)
+        acc_nonref = (acc_per_part & nonref).sum(-1) / nonref.sum(-1).clip(1)
         return {
-            "part_acc": acc, "shape_cd": shape_cd, "rmse_r": rmse_r, "rmse_t": rmse_t,
+            "part_acc": acc, "part_acc_nonref": acc_nonref, "shape_cd": shape_cd,
+            "rmse_r": rmse_r, "rmse_t": rmse_t,
             "trajectory": out["trajectory"],
         }
 
@@ -191,7 +196,8 @@ def run_inference(cfg: Config, max_batches: int | None = None) -> dict:
         cfg.inference.inference_dir,
     )
     rng = jax.random.key(cfg.trainer.seed)
-    metrics: dict[str, list] = {"part_acc": [], "shape_cd": [], "rmse_r": [], "rmse_t": []}
+    metrics: dict[str, list] = {"part_acc": [], "part_acc_nonref": [], "shape_cd": [],
+                                "rmse_r": [], "rmse_t": []}
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break

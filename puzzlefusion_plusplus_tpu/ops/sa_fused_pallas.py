@@ -209,7 +209,7 @@ def _sa_cached_kernel(
     proj_ref,  # [1, N2, C1] f32 per-cloud pre-projected features (or [1, 8, C1] dummy)
     b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     out_ref,  # [1, ST, C3]
-    *, n2: int, k: int, st: int, has_feats: bool,
+    *, n2: int, k: int, st: int, has_feats: bool, gather_impl: str = "onehot",
 ):
     s_tile = pl.program_id(1)
     rows = st * k
@@ -220,12 +220,26 @@ def _sa_cached_kernel(
     )  # [rows, C1]
     if has_feats:
         gidx = gidx_ref[0, 0, pl.ds(s_tile * rows, rows)]  # [rows]
-        col = jax.lax.broadcasted_iota(jnp.int32, (rows, n2), 1)
-        onehot = (col == gidx[:, None]).astype(jnp.float32)
-        h = h + jax.lax.dot_general(
-            onehot, proj_ref[0, :, :], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if gather_impl == "dynamic":
+            # VPU dynamic gather (Mosaic DynamicGatherOp), chunked because Mosaic needs
+            # output rows == table rows: rows % n2 == 0 guaranteed by the dispatcher.
+            # Moves the 18%-of-engine-FLOPs gather matmuls (VALIDATION.md roofline) off
+            # the MXU; exact (no bf16 operand rounding), unlike the onehot matmul.
+            tab = proj_ref[0, :, :]  # [n2, C1]
+            c1 = tab.shape[1]
+            parts = []
+            for j in range(rows // n2):
+                ids = gidx[j * n2 : (j + 1) * n2]  # static 128-multiple offsets
+                ix = jnp.broadcast_to(ids[:, None], (n2, c1))
+                parts.append(jnp.take_along_axis(tab, ix, axis=0))
+            h = h + jnp.concatenate(parts, axis=0)
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, (rows, n2), 1)
+            onehot = (col == gidx[:, None]).astype(jnp.float32)
+            h = h + jax.lax.dot_general(
+                onehot, proj_ref[0, :, :], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     h = jnp.maximum(h + b1_ref[0, :], 0.0)
     h = jnp.maximum(
         jax.lax.dot_general(h, w2_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -246,6 +260,8 @@ def sa_stage_fused_cached(
     w2: jnp.ndarray, b2: jnp.ndarray,  # folded conv1
     w3: jnp.ndarray, b3: jnp.ndarray,  # folded conv2
     interpret: bool = False,  # Pallas interpret mode (CPU tests; kernel has no TPU intrinsics)
+    gather_impl: str | None = None,  # 'onehot' (MXU matmul) | 'dynamic' (VPU gather);
+    # None -> PFPP_SA_GATHER env, default 'onehot'
 ) -> jnp.ndarray:
     """-> new_feats [M, S, C3] (max over K of the 3-layer folded MLP)."""
     M, S, K, _ = g_rel.shape
@@ -257,6 +273,8 @@ def sa_stage_fused_cached(
     Sp = S + s_pad
     n_tiles = Sp // _ST
     rows = _ST * K
+    if gather_impl is None:
+        gather_impl = os.environ.get("PFPP_SA_GATHER", "onehot")
 
     g_flat = jnp.pad(
         g_rel.reshape(M, S * K, 3).astype(jnp.float32),
@@ -275,6 +293,8 @@ def sa_stage_fused_cached(
         N2p = 8
         proj = jnp.zeros((M, 8, C1), jnp.float32)
         gidx = jnp.zeros((M, 8, max(Sp * K, 128)), jnp.int32)
+    if gather_impl == "dynamic" and (not has_feats or rows % N2p != 0):
+        gather_impl = "onehot"  # chunked VPU gather needs rows to tile by the table height
 
     b1p = jnp.asarray(b1, jnp.float32)[None, :]
     w2p = jnp.asarray(w2, jnp.float32)
@@ -284,7 +304,8 @@ def sa_stage_fused_cached(
 
     out = pl.pallas_call(
         functools.partial(
-            _sa_cached_kernel, n2=N2p, k=K, st=_ST, has_feats=has_feats
+            _sa_cached_kernel, n2=N2p, k=K, st=_ST, has_feats=has_feats,
+            gather_impl=gather_impl,
         ),
         grid=(M, n_tiles),
         in_specs=[

@@ -189,11 +189,20 @@ def eval_metrics(final, batch):
     pred_trans, pred_rots = final[..., :3], final[..., 3:]
     gt_trans, gt_rots = batch["part_trans"], batch["part_rots"]
     valids = batch["part_valids"]
-    acc, _, _ = calc_part_acc(pts, pred_trans, gt_trans, pred_rots, gt_rots, valids)
+    acc, acc_per_part, _ = calc_part_acc(
+        pts, pred_trans, gt_trans, pred_rots, gt_rots, valids)
     shape_cd = calc_shape_cd(pts, pred_trans, gt_trans, pred_rots, gt_rots, valids)
     rmse_r = rot_metrics(pred_rots, gt_rots, valids, "rmse")
     rmse_t = trans_metrics(pred_trans, gt_trans, valids, "rmse")
-    return {"part_acc": acc, "shape_cd": shape_cd, "rmse_r": rmse_r, "rmse_t": rmse_t}
+    # part_acc counts ref parts, which are PINNED to GT (auto_aggl.py:96-132 semantics):
+    # the structural floor on a 2-20-part mix is ~0.25 with purely random non-ref poses
+    # (scripts/part_acc_floor.py). part_acc_nonref measures actual learning.
+    nonref = (valids == 1) & ~batch["ref_part"].astype(bool)
+    acc_nonref = jnp.where(
+        nonref.sum(-1) > 0, (acc_per_part & nonref).sum(-1) / nonref.sum(-1).clip(1), 1.0
+    )
+    return {"part_acc": acc, "part_acc_nonref": acc_nonref, "shape_cd": shape_cd,
+            "rmse_r": rmse_r, "rmse_t": rmse_t}
 
 
 def numeric_batch(batch: dict) -> dict:

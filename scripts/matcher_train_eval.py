@@ -60,6 +60,7 @@ if not os.path.exists(ROOT + "/.done"):
                      min_parts=2, max_parts=20, n_points=1000)
     open(ROOT + "/.done", "w").write("ok")
 
+from evidence import collect, write_summary  # noqa: E402 (scripts/ on sys.path)
 from puzzlefusion_plusplus_tpu.matching.oracle import oracle_matching_stats
 from puzzlefusion_plusplus_tpu.matching.train import make_model, train_matching
 
@@ -86,6 +87,11 @@ state = train_matching(
     cls_pos_weight=POS_WEIGHT,
 )
 print(f"[{time.time()-t0:.0f}s] matcher training done", flush=True)
+write_summary(OUT, "oracle_ceiling", {
+    "oracle": oracle, "num_points": NUM_POINTS, "n_train": N_TRAIN, "epochs": EPOCHS,
+    "reference_schedule": "250 epochs, jigsaw_4x4_128_512_250e_cosine_everyday.yaml:13-20",
+})
+collect(OUT, f"gen{N_TRAIN}/matcher")  # held-out mat_f1 curve survives /tmp (VERDICT r3 #7)
 
 # ---- matching_data from the trained matcher on the HELD-OUT split (eval.sh parity)
 from puzzlefusion_plusplus_tpu.matching.generate import generate_matching_data
@@ -120,6 +126,7 @@ if not all(os.path.isdir(d) for d in need):
 from puzzlefusion_plusplus_tpu.inference.run import run_inference
 from puzzlefusion_plusplus_tpu.utils.config import Config
 
+comparison = {}
 for tag, mpath in (("model", match_dir), ("gt-synthetic", ROOT + "/matching_data")):
     cfg = Config()
     cfg.data.data_val_dir = ROOT + "/pc_data/val"
@@ -131,5 +138,14 @@ for tag, mpath in (("model", match_dir), ("gt-synthetic", ROOT + "/matching_data
     cfg.inference.batch_size = 8
     cfg.inference.save_trajectories = False
     agg = run_inference(cfg)
+    comparison[tag] = agg
     print(f"[{time.time()-t0:.0f}s] engine metrics ({tag} matching data): "
           f"{json.dumps(agg)}", flush=True)
+
+# VERDICT r3 #6: the model-generated-vs-GT matching-data quality gate, persisted in-repo
+write_summary(OUT, "engine_matching_comparison", {
+    "comparison": comparison, "num_points": NUM_POINTS, "n_val": N_VAL,
+    "matcher_epochs": EPOCHS, "pos_weight": POS_WEIGHT,
+    "reference_loop": "eval.sh -> test.py, matching_base_model.py:274-454",
+})
+collect(OUT, f"gen{N_TRAIN}/matcher")

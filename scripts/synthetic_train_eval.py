@@ -8,6 +8,10 @@ multi-ref curriculum), and checkpoint selection uses the top-k retention on eval
 
 Env: N_TRAIN=256 N_VAL=16 STEPS_AE=4000 STEPS_DN=10000 STEPS_VF=1000
      MIN_PARTS=2 MAX_PARTS=20 (r3: full reference part-count range, data.yaml:11)
+     PLATEAU_X=3 (r4: stage budgets are floors, not guesses — each stage keeps extending
+     in half-budget chunks until its monitored series plateaus, scripts/evidence.py, or
+     the PLATEAU_X multiple of the base budget is hit; every stage's metrics.jsonl is
+     copied into the committed evidence/ tree the moment the stage ends, VERDICT r3 #7)
 """
 
 import os
@@ -40,6 +44,9 @@ STEPS_DN = int(os.environ.get("STEPS_DN", "10000"))
 STEPS_VF = int(os.environ.get("STEPS_VF", "1000"))
 MIN_PARTS = int(os.environ.get("MIN_PARTS", "2"))
 MAX_PARTS = int(os.environ.get("MAX_PARTS", "20"))
+PLATEAU_X = float(os.environ.get("PLATEAU_X", "3"))  # hard cap: PLATEAU_X * base budget
+
+from evidence import collect, loss_plateaued, write_summary  # noqa: E402 (scripts/)
 
 ROOT = f"/tmp/pfpp_gen_{N_TRAIN}"
 OUT = ROOT + "/out"
@@ -63,33 +70,61 @@ cfg.trainer.num_devices = 1
 # tested in tests/test_bucketing.py) — one XLA specialization per bucket pad
 cfg.data.part_bucket_multiple = int(os.environ.get("BUCKET_MULT", "4"))
 
-# ---- stage 1
+# ---- stage 1 (plateau-gated: r3's fixed budget left cd_loss still falling at the cut)
 ae_ckpt = OUT + "/everyday/vqvae/ckpt"
-if not os.path.isdir(ae_ckpt):
-    print(f"[{time.time()-t0:.0f}s] stage 1: VQ-VAE {STEPS_AE} steps", flush=True)
+ae_metrics = OUT + "/everyday/vqvae/metrics.jsonl"
+if not os.path.exists(ROOT + "/.stage1_plateau"):
     cfg.data.batch_size = 16
     cfg.data.val_batch_size = 16
-    tvq.train(cfg, max_steps=STEPS_AE)
+    target = STEPS_AE
+    while True:
+        print(f"[{time.time()-t0:.0f}s] stage 1: VQ-VAE -> step {target}", flush=True)
+        tvq.train(cfg, max_steps=target)  # auto-resumes from the last ckpt step
+        done, info = loss_plateaued(ae_metrics, "cd_loss", window=10)
+        print(f"[{time.time()-t0:.0f}s] stage 1 plateau check: done={done} {info}",
+              flush=True)
+        if done or target >= STEPS_AE * PLATEAU_X:
+            break
+        target += max(STEPS_AE // 2, 1)
+    open(ROOT + "/.stage1_plateau", "w").write(str(info))
+collect(OUT + "/everyday/vqvae", f"gen{N_TRAIN}/vqvae")
 cfg.denoiser.encoder_ckpt_path = ae_ckpt
 
-# ---- stage 2 (production loop; val every val_every epochs logs the part_acc curve)
+# ---- stage 2 (production loop; val every val_every epochs logs the part_acc curve;
+# plateau-gated on eval_part_acc: the 0.22-plateau question needs the curve flat, not cut)
 dn_ckpt = OUT + "/everyday/denoiser/ckpt"
-print(f"[{time.time()-t0:.0f}s] stage 2: denoiser {STEPS_DN} steps", flush=True)
+dn_metrics = OUT + "/everyday/denoiser/metrics.jsonl"
 cfg.data.batch_size = 64
 cfg.data.val_batch_size = 16
 cfg.denoiser.train_on_inference_timesteps = True
 steps_per_epoch = max(N_TRAIN // cfg.data.batch_size, 1)
-cfg.denoiser.epochs = -(-STEPS_DN // steps_per_epoch)
+base_epochs = -(-STEPS_DN // steps_per_epoch)
 # denser val cadence: each val checkpoints the run, which bounds the work lost when the
 # axon tunnel's per-dispatch host leak OOMs the process (supervisor relaunch + auto-resume)
-cfg.denoiser.val_every = max(cfg.denoiser.epochs // 40, 1)
-tden.train(cfg)
+cfg.denoiser.val_every = max(base_epochs // 40, 1)
+if not os.path.exists(ROOT + "/.stage2_plateau"):
+    epochs = base_epochs
+    while True:
+        print(f"[{time.time()-t0:.0f}s] stage 2: denoiser -> epoch {epochs} "
+              f"(~{epochs * steps_per_epoch} steps)", flush=True)
+        cfg.denoiser.epochs = epochs
+        tden.train(cfg)
+        done, info = loss_plateaued(dn_metrics, "eval_part_acc", window=5,
+                                    min_rel_improve=0.01, mode="max")
+        print(f"[{time.time()-t0:.0f}s] stage 2 plateau check: done={done} {info}",
+              flush=True)
+        if done or epochs >= base_epochs * PLATEAU_X:
+            break
+        epochs += max(base_epochs // 2, 1)
+    open(ROOT + "/.stage2_plateau", "w").write(str(info))
+collect(OUT + "/everyday/denoiser", f"gen{N_TRAIN}/denoiser")
 
 # ---- stage 3
 print(f"[{time.time()-t0:.0f}s] stage 3: verifier {STEPS_VF} steps", flush=True)
 cfg.data.batch_size = 64
 cfg.data.val_batch_size = 64
 tvf.train(cfg, max_steps=STEPS_VF)
+collect(OUT + "/everyday/verifier", f"gen{N_TRAIN}/verifier")
 
 # ---- engine on held-out shapes (best ckpt by eval part_acc via topk index)
 from puzzlefusion_plusplus_tpu.inference.run import run_inference
@@ -100,3 +135,11 @@ cfg.inference.batch_size = 8
 cfg.inference.save_trajectories = False
 agg = run_inference(cfg)
 print(f"[{time.time()-t0:.0f}s] HELD-OUT engine metrics: {agg}", flush=True)
+eng_dir = OUT + "/engine_eval"
+os.makedirs(eng_dir, exist_ok=True)
+write_summary(eng_dir, "heldout_engine", {
+    "metrics": agg, "n_train": N_TRAIN, "n_val": N_VAL,
+    "min_parts": MIN_PARTS, "max_parts": MAX_PARTS,
+    "reference_bar": {"part_acc": 0.7018, "source": "docs/test.md:17"},
+})
+collect(eng_dir, f"gen{N_TRAIN}/engine")

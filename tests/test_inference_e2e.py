@@ -59,7 +59,7 @@ def test_engine_end_to_end(small_setup):
     S = cfg.verifier.max_iters * cfg.denoiser.num_inference_steps
     assert res["trajectory"].shape == (2, S, 5, 7)
     assert np.isfinite(res["trajectory"]).all()
-    for k in ("part_acc", "shape_cd", "rmse_r", "rmse_t"):
+    for k in ("part_acc", "part_acc_nonref", "shape_cd", "rmse_r", "rmse_t"):
         assert np.isfinite(res[k]).all(), k
     assert ((res["part_acc"] >= 0) & (res["part_acc"] <= 1)).all()
 
