@@ -82,6 +82,12 @@ if [ ! -f /tmp/matcher_tpu.done ]; then
   # metric headroom per FLOP. The script logs the ceiling next to the curve.
   N_TRAIN=4096 N_VAL=32 EPOCHS=10 BATCH=4 NUM_POINTS=1000 VAL_EVERY=1 \
     MAT_EPOCH=1 RIG_EPOCH=8 python scripts/matcher_train_eval.py || exit 1
+  # stage-B bottleneck decomposition (cls vs affinity features vs solver; CPU-forced,
+  # see VALIDATION.md "Matcher bottleneck decomposition") on the at-scale checkpoint
+  CKPT=/tmp/pfpp_gen_4096/matcher_out/ckpt DATA=/tmp/pfpp_gen_4096 NUM_POINTS=1000 \
+    MAX_PARTS=20 PC_FEAT=128 AFF_FEAT=512 SA_NPOINTS=1024,256,64,16 OUT_TAG=gen4096 \
+    python scripts/matcher_diagnosis.py \
+    || echo "stage B diagnosis failed (non-fatal) $(date -u +%H:%M:%S)"
   touch /tmp/matcher_tpu.done
 fi
 echo "=== queue complete $(date -u +%H:%M:%S)"
