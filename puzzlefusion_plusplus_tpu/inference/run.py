@@ -105,6 +105,7 @@ def build_engine_fn(cfg: Config):
         return {
             "part_acc": acc, "part_acc_nonref": acc_nonref, "shape_cd": shape_cd,
             "rmse_r": rmse_r, "rmse_t": rmse_t,
+            "acc_per_part": acc_per_part,  # [B, P] bool (valid slots meaningful)
             "trajectory": out["trajectory"],
         }
 
@@ -165,6 +166,32 @@ def save_inference_artifacts(out_dir: str, batch: dict, results: dict) -> None:
             f.write(str(mesh_path))
 
 
+def save_breakdown_records(out_dir: str, batch: dict, results: dict, n_real: int) -> None:
+    """One JSONL record per shape with per-part correctness, the ref mask, and part
+    scales — the offline failure-analysis feed (scripts/engine_breakdown.py aggregates
+    by part count and part size; no reference analogue — its evaluator only exposes the
+    batch means, evaluator.py:84-117)."""
+    import json as _json
+
+    os.makedirs(out_dir, exist_ok=True)
+    valids = np.asarray(batch["part_valids"])[:n_real]
+    ref = np.asarray(batch["ref_part"])[:n_real].astype(bool)
+    per_part = np.asarray(results["acc_per_part"]).astype(bool)
+    scales = np.asarray(batch["part_scale"])[:n_real].reshape(n_real, -1)
+    with open(os.path.join(out_dir, "breakdown.jsonl"), "a") as fh:
+        for i in range(n_real):
+            m = valids[i] == 1
+            fh.write(_json.dumps({
+                "data_id": int(np.asarray(batch["data_id"])[i]),
+                "num_parts": int(m.sum()),
+                "part_acc": float(results["part_acc"][i]),
+                "part_acc_nonref": float(results["part_acc_nonref"][i]),
+                "acc_per_part": per_part[i][m].astype(int).tolist(),
+                "ref_part": ref[i][m].astype(int).tolist(),
+                "part_scale": [round(float(s), 5) for s in scales[i][m]],
+            }) + "\n")
+
+
 def run_inference(cfg: Config, max_batches: int | None = None) -> dict:
     from puzzlefusion_plusplus_tpu.parallel import (
         data_parallel_mesh,
@@ -219,6 +246,8 @@ def run_inference(cfg: Config, max_batches: int | None = None) -> dict:
             metrics[name].extend(np.asarray(results[name]).tolist())
         if cfg.inference.save_trajectories:
             save_inference_artifacts(out_dir, batch, results)
+        if cfg.inference.save_breakdown:
+            save_breakdown_records(out_dir, batch, results, n_real)
     agg = {f"eval/{k}": float(np.mean(v)) for k, v in metrics.items() if v}
     agg["num_samples"] = len(metrics["part_acc"])
     return agg

@@ -132,6 +132,9 @@ class TrainerConfig:
 class InferenceConfig:
     inference_dir: str = "results"
     save_trajectories: bool = True
+    # append one JSONL record per shape (per-part correctness, ref mask, part scales) to
+    # <out_dir>/breakdown.jsonl for offline failure analysis (scripts/engine_breakdown.py)
+    save_breakdown: bool = False
     batch_size: int = 1  # shapes per device-step; vmapped/sharded on TPU
     # part-count bucketing (data/bucketing.py): serve each batch at the smallest multiple-of-
     # this part pad that fits its shapes (one extra XLA specialization per distinct pad).

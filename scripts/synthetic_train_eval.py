@@ -14,6 +14,7 @@ Env: N_TRAIN=256 N_VAL=16 STEPS_AE=4000 STEPS_DN=10000 STEPS_VF=1000
      copied into the committed evidence/ tree the moment the stage ends, VERDICT r3 #7)
 """
 
+import json
 import os
 import sys
 import time
@@ -133,13 +134,25 @@ cfg.denoiser.ckpt_path = dn_ckpt
 cfg.verifier.ckpt_path = OUT + "/everyday/verifier/ckpt"
 cfg.inference.batch_size = 8
 cfg.inference.save_trajectories = False
+cfg.inference.save_breakdown = True  # per-part records -> scripts/engine_breakdown.py
 agg = run_inference(cfg)
 print(f"[{time.time()-t0:.0f}s] HELD-OUT engine metrics: {agg}", flush=True)
 eng_dir = OUT + "/engine_eval"
 os.makedirs(eng_dir, exist_ok=True)
+from engine_breakdown import analyze, load_records  # noqa: E402 (scripts/ on sys.path)
+
+inf_dir = os.path.join(cfg.trainer.output_dir, cfg.trainer.experiment_name, "inference",
+                       cfg.inference.inference_dir)
+try:
+    breakdown = analyze(load_records(inf_dir))
+except Exception as e:  # never lose the headline metrics to an analysis bug
+    breakdown = {"error": repr(e)}
+print(f"[{time.time()-t0:.0f}s] per-part breakdown: {json.dumps(breakdown)}", flush=True)
 write_summary(eng_dir, "heldout_engine", {
     "metrics": agg, "n_train": N_TRAIN, "n_val": N_VAL,
     "min_parts": MIN_PARTS, "max_parts": MAX_PARTS,
-    "reference_bar": {"part_acc": 0.7018, "source": "docs/test.md:17"},
+    "breakdown": breakdown,
+    "reference_bar": {"part_acc": 0.7018, "source": "docs/test.md:17",
+                      "nonref_equivalent": 0.65},
 })
 collect(eng_dir, f"gen{N_TRAIN}/engine")

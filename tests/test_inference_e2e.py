@@ -81,6 +81,31 @@ def test_engine_end_to_end(small_setup):
         n_valid = int(batch["part_valids"][i].sum())
         assert traj.shape == (S, n_valid, 7)
 
+    # per-part breakdown records + analyzer (inference/run.py::save_breakdown_records,
+    # scripts/engine_breakdown.py) must agree with the engine's own aggregate metrics
+    import json
+    import sys
+
+    from puzzlefusion_plusplus_tpu.inference.run import save_breakdown_records
+
+    save_breakdown_records(out_dir, batch, res, n_real=2)
+    recs = [json.loads(l) for l in open(os.path.join(out_dir, "breakdown.jsonl"))]
+    assert len(recs) == 2
+    for i, r in enumerate(recs):
+        n_valid = int(batch["part_valids"][i].sum())
+        assert r["num_parts"] == n_valid
+        assert len(r["acc_per_part"]) == len(r["ref_part"]) == len(r["part_scale"]) == n_valid
+        assert abs(np.mean(r["acc_per_part"]) - r["part_acc"]) < 1e-6
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from engine_breakdown import analyze
+
+    agg = analyze(recs)
+    assert agg["n_shapes"] == 2
+    assert agg["acc_ref_parts"] == 1.0  # pinned to GT by construction
+    assert 0.0 <= agg["acc_all_parts"] <= 1.0
+    assert agg["n_parts_total"] == sum(r["num_parts"] for r in recs)
+
 
 def test_batched_engine_matches_vmapped_single(small_setup):
     """auto_agglomerate_batch (batch-global merge gating + early-exit while_loop) must
