@@ -69,6 +69,12 @@ class JigsawModel(nn.Module):
     # argmax prediction and NLL training loss (:170-175, :303-304)
     cls_method: Literal["binary", "multi"] = "binary"
     num_classes: int = 2
+    # SO(3)-invariant encoder inputs via per-piece sign-disambiguated PCA frames
+    # (matching/ops.py::pca_canonicalize). Default False = exact reference behavior (raw
+    # rotated clouds); True removes the rotation-robustness burden the r4 bottleneck
+    # decomposition identified as the held-out mat_f1 bottleneck (VALIDATION.md).
+    canonicalize_inputs: bool = False
+    max_num_part: int = 20
 
     @nn.compact
     def __call__(
@@ -84,17 +90,22 @@ class JigsawModel(nn.Module):
         B, N, _ = part_pcs.shape
         valid = mops.valid_point_mask(pid, n_valid)
 
+        # geometry fed to the ENCODERS only; losses/alignment keep the original frames
+        enc_pcs = (
+            mops.pca_canonicalize(part_pcs, pid, valid, self.max_num_part)
+            if self.canonicalize_inputs else part_pcs
+        )
         if self.encoder_type == "pointnet2":
             feats = PointNet2MSGPointwise(
                 self.pc_feat_dim, self.sa_npoints, name="encoder"
-            )(part_pcs, pid, valid, train)
+            )(enc_pcs, pid, valid, train)
         else:
-            feats = DGCNN(self.pc_feat_dim, name="encoder")(part_pcs, pid, valid, train)
+            feats = DGCNN(self.pc_feat_dim, name="encoder")(enc_pcs, pid, valid, train)
 
         feats = PointTransformerLayer(
             self.pc_feat_dim, self.pc_feat_dim, self.tf_num_heads, self.tf_num_samples,
             name="tf_self1",
-        )(part_pcs, feats, pid, train)
+        )(enc_pcs, feats, pid, train)
         attn_mask = valid[:, None, :] & valid[:, :, None]
         feats = CrossAttentionLayer(
             self.pc_feat_dim, self.tf_num_heads, name="tf_cross1"

@@ -47,6 +47,45 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     return d
 
 
+def pca_canonicalize(
+    pts: jnp.ndarray,  # [B, N, 3] flat piece clouds
+    pid: jnp.ndarray,  # [B, N] piece ids
+    valid: jnp.ndarray,  # [B, N] bool
+    max_parts: int,
+) -> jnp.ndarray:
+    """Rotate every piece into its sign-disambiguated PCA frame — SO(3)-invariant
+    coordinates for the matcher encoders (no reference analogue: the reference feeds raw
+    rotated clouds and buys rotation robustness with its 250-epoch schedule,
+    jigsaw_4x4_128_512_250e_cosine_everyday.yaml:13; the round-4 bottleneck decomposition
+    showed the learned affinities are the held-out mat_f1 bottleneck precisely because of
+    the per-draw SO(3) augmentation — VALIDATION.md "Matcher bottleneck decomposition").
+
+    Per piece: covariance eigenbasis (principal axis first); the first two axis signs are
+    fixed by third-moment (skewness) positivity and the third by right-handedness
+    (r3 = r1 x r2). Rotating a piece by any Q maps cov -> Q cov Q^T and the eigenbasis to
+    Q E up to per-column signs, which the skew disambiguates — so the output is invariant
+    wherever the piece has distinct eigenvalues and nonzero skew (fracture fragments are
+    irregular; near-symmetric pieces degrade gracefully to an arbitrary-but-valid frame).
+    Padded points map to 0.
+    """
+    dt = pts.dtype
+    w = jax.nn.one_hot(pid, max_parts, dtype=dt) * valid[..., None].astype(dt)  # [B,N,P]
+    cnt = jnp.maximum(w.sum(1), 1.0)  # [B, P]
+    mean = jnp.einsum("bnp,bnc->bpc", w, pts) / cnt[..., None]
+    cent = (pts - jnp.einsum("bnp,bpc->bnc", w, mean)) * valid[..., None].astype(dt)
+    cov = jnp.einsum("bnp,bnc,bnd->bpcd", w, cent, cent) / cnt[..., None, None]
+    _, evecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    e = evecs[..., ::-1]  # principal axis first; columns e[..., :, k]  [B, P, 3, 3]
+    proj = jnp.einsum("bnc,bncd->bnd", cent, jnp.einsum("bnp,bpcd->bncd", w, e))
+    skew = jnp.einsum("bnp,bnd->bpd", w, proj**3)  # [B, P, 3] per-axis third moments
+    s = jnp.where(skew >= 0, 1.0, -1.0).astype(dt)
+    r1 = e[..., :, 0] * s[..., 0][..., None]
+    r2 = e[..., :, 1] * s[..., 1][..., None]
+    r3 = jnp.cross(r1, r2)  # right-handed by construction
+    basis = jnp.stack([r1, r2, r3], axis=-1)  # [B, P, 3, 3]
+    return jnp.einsum("bnc,bncd->bnd", cent, jnp.einsum("bnp,bpcd->bncd", w, basis))
+
+
 def knn_piece_aware(
     xyz: jnp.ndarray, pid: jnp.ndarray, k: int, cross_piece: bool = False
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

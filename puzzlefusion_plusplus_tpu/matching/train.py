@@ -45,10 +45,11 @@ from puzzlefusion_plusplus_tpu.training.verifier import binary_cls_metrics
 
 def make_model(pc_feat_dim=128, aff_feat_dim=512, encoder="pointnet2",
                sa_npoints=(1024, 256, 64, 16), cls_method="binary",
-               num_classes=2) -> JigsawModel:
+               num_classes=2, canonicalize=False, max_num_part=20) -> JigsawModel:
     return JigsawModel(pc_feat_dim=pc_feat_dim, aff_feat_dim=aff_feat_dim,
                        encoder_type=encoder, sa_npoints=sa_npoints,
-                       cls_method=cls_method, num_classes=num_classes)
+                       cls_method=cls_method, num_classes=num_classes,
+                       canonicalize_inputs=canonicalize, max_num_part=max_num_part)
 
 
 def loss_fn(params, batch_stats, model, batch, w_mat, w_rig, train, rng,

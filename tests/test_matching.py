@@ -393,3 +393,71 @@ def test_oracle_assignment_ceiling_bounds_oracle():
     out = oracle_f1_single(gt, pid, threshold=0.05)
     assert out["assignment_ceiling"] == pytest.approx(2.0 / 3.0)
     assert out["oracle_f1"] <= out["assignment_ceiling"] + 1e-9
+
+
+def test_pca_canonicalize_rotation_and_translation_invariant():
+    """Per-piece sign-disambiguated PCA frames (matching/ops.py::pca_canonicalize): the
+    canonical coordinates must be identical whatever SE(3) pose each piece arrives in
+    (distinct eigenvalues + nonzero per-axis skew guaranteed by the exponential cloud)."""
+    rng = np.random.default_rng(3)
+    B, N, P = 2, 96, 4
+    n_pcs = jnp.asarray([[48, 48, 0, 0], [32, 32, 32, 0]])
+    pid = mops.piece_ids(n_pcs, N)
+    n_valid = jnp.asarray([2, 3])
+    valid = mops.valid_point_mask(pid, n_valid)
+    # skewed, anisotropic pieces: exp samples scaled per axis
+    pts = (rng.exponential(size=(B, N, 3)) * np.array([3.0, 2.0, 1.0])).astype(np.float32)
+
+    def repose(x):
+        out = np.array(x)
+        for b in range(B):
+            for p in range(int(n_valid[b])):
+                m = np.asarray(pid[b]) == p
+                R = random_rotation(rng)
+                t = rng.normal(size=3) * 5
+                out[b, m] = out[b, m] @ R.T + t
+        return out
+
+    canon_a = mops.pca_canonicalize(jnp.asarray(repose(pts)), pid, valid, P)
+    canon_b = mops.pca_canonicalize(jnp.asarray(repose(pts)), pid, valid, P)
+    np.testing.assert_allclose(np.asarray(canon_a), np.asarray(canon_b), atol=2e-4)
+    # canonical frames are zero-mean per piece and padded pieces map to zero
+    for b in range(B):
+        for p in range(int(n_valid[b])):
+            m = np.asarray(pid[b]) == p
+            np.testing.assert_allclose(np.asarray(canon_a)[b, m].mean(0), 0.0, atol=1e-5)
+
+
+def test_jigsaw_model_canonicalize_flag_invariant_forward():
+    """With canonicalize_inputs=True the model's cls logits and affinity matrix must be
+    invariant to per-piece re-posing of the input cloud (eval mode, same labels)."""
+    from puzzlefusion_plusplus_tpu.matching.model import JigsawModel
+
+    rng = np.random.default_rng(11)
+    model = JigsawModel(pc_feat_dim=32, aff_feat_dim=16, sa_npoints=(32, 16, 8, 4),
+                        tf_num_samples=8, canonicalize_inputs=True, max_num_part=3)
+    B, N = 1, 128
+    n_pcs = jnp.asarray([[64, 64, 0]])
+    pid = mops.piece_ids(n_pcs, N)
+    n_valid = jnp.asarray([2])
+    labels = jnp.asarray((rng.random((B, N)) < 0.3).astype(np.int32))
+    base = (rng.exponential(size=(B, N, 3)) * np.array([3.0, 2.0, 1.0])).astype(np.float32)
+
+    def repose(x):
+        out = np.array(x)
+        for p in range(2):
+            m = np.asarray(pid[0]) == p
+            out[0, m] = out[0, m] @ random_rotation(rng).T + rng.normal(size=3)
+        return jnp.asarray(out)
+
+    pcs_a, pcs_b = repose(base), repose(base)
+    variables = jit_init(model, jax.random.key(0), pcs_a, pid, n_valid, labels,
+                         train=False, compute_matching=True)
+    out_a = jit_apply(model, variables, pcs_a, pid, n_valid, labels, train=False,
+                      compute_matching=True)
+    out_b = jit_apply(model, variables, pcs_b, pid, n_valid, labels, train=False,
+                      compute_matching=True)
+    np.testing.assert_allclose(np.asarray(out_a["cls_logits"]),
+                               np.asarray(out_b["cls_logits"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_a["ds_mat"]),
+                               np.asarray(out_b["ds_mat"]), atol=2e-3)
