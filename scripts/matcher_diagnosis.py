@@ -165,7 +165,8 @@ def _split_stats(data_dir: str, model, params, batch_stats) -> dict:
 
 def main() -> dict:
     t0 = time.time()
-    model = make_model(pc_feat_dim=PC_FEAT, aff_feat_dim=AFF_FEAT, sa_npoints=SA_NPOINTS)
+    model = make_model(pc_feat_dim=PC_FEAT, aff_feat_dim=AFF_FEAT, sa_npoints=SA_NPOINTS,
+                       canonicalize=os.environ.get("CANONICALIZE", "0") == "1")
     best = best_checkpoint(CKPT)
     assert best is not None, f"no checkpoint under {CKPT}"
     restored = load_checkpoint(best)

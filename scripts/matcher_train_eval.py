@@ -45,9 +45,14 @@ VAL_EVERY = int(os.environ.get("VAL_EVERY", "10"))
 POS_WEIGHT = float(os.environ.get("POS_WEIGHT", "4.0"))
 MAT_EPOCH = int(os.environ.get("MAT_EPOCH", str(max(EPOCHS * 10 // 250, 1))))
 RIG_EPOCH = int(os.environ.get("RIG_EPOCH", str(EPOCHS * 200 // 250)))
+# 1 = per-piece PCA-canonicalized encoder inputs (matching/ops.py::pca_canonicalize):
+# SO(3)-invariance by construction instead of the reference's 250-epoch augmentation
+# schedule — the r4 bottleneck decomposition showed rotation-robust affinity features are
+# the held-out mat_f1 gap. 0 = exact reference input parity (raw rotated clouds).
+CANONICALIZE = os.environ.get("CANONICALIZE", "0") == "1"
 
 ROOT = f"/tmp/pfpp_gen_{N_TRAIN}"
-OUT = ROOT + "/matcher_out"
+OUT = os.environ.get("MATCHER_OUT", ROOT + "/matcher_out")
 t0 = time.time()
 
 if not os.path.exists(ROOT + "/.done"):
@@ -71,8 +76,9 @@ oracle = oracle_matching_stats(ROOT + "/pc_data/val", num_points=NUM_POINTS,
 print(f"[{time.time()-t0:.0f}s] val oracle ceiling @ {NUM_POINTS} pts: "
       f"{json.dumps(oracle)}", flush=True)
 print(f"[{time.time()-t0:.0f}s] matcher: {EPOCHS} epochs, batch {BATCH}, "
-      f"{NUM_POINTS} pts, mat@{MAT_EPOCH} rig@{RIG_EPOCH}", flush=True)
-model = make_model()
+      f"{NUM_POINTS} pts, mat@{MAT_EPOCH} rig@{RIG_EPOCH} canon={CANONICALIZE}",
+      flush=True)
+model = make_model(canonicalize=CANONICALIZE)
 state = train_matching(
     ROOT + "/pc_data/train",
     out_dir=OUT,
@@ -89,9 +95,10 @@ state = train_matching(
 print(f"[{time.time()-t0:.0f}s] matcher training done", flush=True)
 write_summary(OUT, "oracle_ceiling", {
     "oracle": oracle, "num_points": NUM_POINTS, "n_train": N_TRAIN, "epochs": EPOCHS,
+    "canonicalize": CANONICALIZE,
     "reference_schedule": "250 epochs, jigsaw_4x4_128_512_250e_cosine_everyday.yaml:13-20",
 })
-collect(OUT, f"gen{N_TRAIN}/matcher")  # held-out mat_f1 curve survives /tmp (VERDICT r3 #7)
+collect(OUT, f"gen{N_TRAIN}/{os.path.basename(OUT)}")  # held-out mat_f1 curve survives /tmp (VERDICT r3 #7)
 
 # ---- matching_data from the trained matcher on the HELD-OUT split (eval.sh parity)
 from puzzlefusion_plusplus_tpu.matching.generate import generate_matching_data
@@ -104,7 +111,7 @@ if best is not None:
     print(f"[{time.time()-t0:.0f}s] generating matching_data from {best}", flush=True)
 else:
     params, batch_stats = state.params, state.batch_stats
-match_dir = ROOT + "/matching_data_model"
+match_dir = ROOT + "/matching_data_" + os.path.basename(OUT)  # variant-unique
 results = generate_matching_data(
     model, params, batch_stats, ROOT + "/pc_data/val", match_dir,
     num_points=NUM_POINTS, seed=0,
@@ -145,7 +152,7 @@ for tag, mpath in (("model", match_dir), ("gt-synthetic", ROOT + "/matching_data
 # VERDICT r3 #6: the model-generated-vs-GT matching-data quality gate, persisted in-repo
 write_summary(OUT, "engine_matching_comparison", {
     "comparison": comparison, "num_points": NUM_POINTS, "n_val": N_VAL,
-    "matcher_epochs": EPOCHS, "pos_weight": POS_WEIGHT,
+    "matcher_epochs": EPOCHS, "pos_weight": POS_WEIGHT, "canonicalize": CANONICALIZE,
     "reference_loop": "eval.sh -> test.py, matching_base_model.py:274-454",
 })
-collect(OUT, f"gen{N_TRAIN}/matcher")
+collect(OUT, f"gen{N_TRAIN}/{os.path.basename(OUT)}")

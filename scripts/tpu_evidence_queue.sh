@@ -80,15 +80,30 @@ if [ ! -f /tmp/matcher_tpu.done ]; then
   # ceiling FALLS with density (matching/oracle.py; measured on the 4096 val split:
   # 0.70 @ 1000 pts vs 0.44 @ 2500), and sinkhorn is O(N^2): 1000 pts gives the most
   # metric headroom per FLOP. The script logs the ceiling next to the curve.
+  # CANONICALIZE=1: per-piece PCA frames (SO(3)-invariant inputs) — the r4 fix for the
+  # measured bottleneck (learned affinities are not rotation-robust at 10-epoch budgets;
+  # the reference buys robustness with 250 epochs we can't afford on one chip)
   N_TRAIN=4096 N_VAL=32 EPOCHS=10 BATCH=4 NUM_POINTS=1000 VAL_EVERY=1 \
-    MAT_EPOCH=1 RIG_EPOCH=8 python scripts/matcher_train_eval.py || exit 1
+    MAT_EPOCH=1 RIG_EPOCH=8 CANONICALIZE=1 python scripts/matcher_train_eval.py || exit 1
   # stage-B bottleneck decomposition (cls vs affinity features vs solver; CPU-forced,
   # see VALIDATION.md "Matcher bottleneck decomposition") on the at-scale checkpoint
   CKPT=/tmp/pfpp_gen_4096/matcher_out/ckpt DATA=/tmp/pfpp_gen_4096 NUM_POINTS=1000 \
     MAX_PARTS=20 PC_FEAT=128 AFF_FEAT=512 SA_NPOINTS=1024,256,64,16 OUT_TAG=gen4096 \
-    python scripts/matcher_diagnosis.py \
+    CANONICALIZE=1 python scripts/matcher_diagnosis.py \
     || echo "stage B diagnosis failed (non-fatal) $(date -u +%H:%M:%S)"
   touch /tmp/matcher_tpu.done
+fi
+
+# stage B2: the reference-parity raw-input variant at the same budget — the controlled
+# comparison for the canonicalization claim (skipped automatically if the round runs out
+# of wall clock before stage B finishes)
+if [ ! -f /tmp/matcher_tpu_raw.done ]; then
+  echo "=== stage B2: matcher raw-input variant $(date -u +%H:%M:%S)"
+  N_TRAIN=4096 N_VAL=32 EPOCHS=10 BATCH=4 NUM_POINTS=1000 VAL_EVERY=1 \
+    MAT_EPOCH=1 RIG_EPOCH=8 CANONICALIZE=0 \
+    MATCHER_OUT=/tmp/pfpp_gen_4096/matcher_out_raw \
+    python scripts/matcher_train_eval.py || exit 1
+  touch /tmp/matcher_tpu_raw.done
 fi
 echo "=== queue complete $(date -u +%H:%M:%S)"
 exit 0
