@@ -153,12 +153,34 @@ def _code_fingerprint(extra: tuple) -> str:
     return h.hexdigest()[:16]
 
 
+def _out_checksum(out) -> list:
+    """Per-leaf float64 nansums of an engine output tree, computed on HOST. np.asarray
+    forces a device->host transfer of real bytes — the one thing an executable that never
+    actually ran cannot fake (r4 finding: through the axon tunnel, a deserialized AOT
+    executable returned instantly-'ready' buffers and block_until_ready did not block)."""
+    return [float(np.nansum(np.asarray(leaf), dtype=np.float64))
+            for leaf in jax.tree_util.tree_leaves(out)]
+
+
+def _checksums_close(saved, fresh) -> bool:
+    saved, fresh = np.asarray(saved, np.float64), np.asarray(fresh, np.float64)
+    return (saved.shape == fresh.shape and bool(np.all(np.isfinite(fresh)))
+            and bool(np.allclose(saved, fresh, rtol=1e-3, atol=1e-3)))
+
+
 def _engine_call_aot(engine, sample, rngs, cfg):
     """Return a callable like ``engine`` backed by a deserialized AOT executable when a
     fingerprint-matching one exists on disk; otherwise compile, serialize, and return the
     jitted path. Makes warm process starts deterministic (VERDICT r2 #8): the persistent
     HLO cache occasionally misses through the axon tunnel (~6 min recompile); the pickled
-    executable skips trace+lower+compile entirely."""
+    executable skips trace+lower+compile entirely.
+
+    A loaded executable is TRUSTED ONLY after validation: the pickle stores output
+    checksums from a fixed-rng call at save time; at load we re-run that exact call and
+    require matching, finite, host-materialized values. Round 4 observed deserialized
+    executables through the axon tunnel returning never-computed buffers that
+    block_until_ready treated as ready (1-3 ms 'runs' of a 0.7 s program) — validation
+    rejects that class instead of publishing fiction."""
     import pickle
 
     if not int(os.environ.get("PFPP_BENCH_AOT", "1")):
@@ -180,21 +202,29 @@ def _engine_call_aot(engine, sample, rngs, cfg):
         )
     except ImportError:
         return engine, "unavailable"
+    status = None
     if os.path.exists(path):
         try:
             with open(path, "rb") as fh:
-                payload, in_tree, out_tree = pickle.load(fh)
+                blob = pickle.load(fh)
+            if len(blob) != 4:  # pre-validation format: cannot be trusted, recompile
+                raise ValueError("unvalidated AOT pickle format")
+            payload, in_tree, out_tree, saved_sum = blob
             compiled = deserialize_and_load(payload, in_tree, out_tree)
-            return (lambda b, r: compiled(engine.params, b, r)), "hit"
+            if _checksums_close(saved_sum, _out_checksum(
+                    compiled(engine.params, sample, rngs))):
+                return (lambda b, r: compiled(engine.params, b, r)), "hit"
+            status = "rejected-validation"  # wrong/never-computed outputs -> recompile
         except Exception:
-            pass  # stale/corrupt -> fall through to recompile
+            status = "rejected-load"  # stale/corrupt -> fall through to recompile
     compiled = engine.jitted.lower(engine.params, sample, rngs).compile()
+    checksum = _out_checksum(compiled(engine.params, sample, rngs))
     try:
         with open(path, "wb") as fh:
-            pickle.dump(serialize(compiled), fh)
-        status = "miss-saved"
+            pickle.dump((*serialize(compiled), checksum), fh)
+        status = f"{status or 'miss'}-saved"
     except Exception:
-        status = "miss-unserializable"
+        status = f"{status or 'miss'}-unserializable"
     return (lambda b, r: compiled(engine.params, b, r)), status
 
 
@@ -264,7 +294,9 @@ def serving_main(full_range: bool = False) -> None:
         n = 0
         for b in batches:
             rngs = jax.random.split(jax.random.key(r + 1), b["part_pcs"].shape[0])
-            jax.block_until_ready(engine(b, rngs))
+            out = engine(b, rngs)
+            jax.block_until_ready(out)
+            np.asarray(out["part_acc"])  # force a real host round-trip (see main())
             n += b["part_pcs"].shape[0]
         times.append(time.time() - t0)
 
@@ -341,6 +373,11 @@ def main() -> None:
         t0 = time.time()
         out = engine(sample, rngs)
         jax.block_until_ready(out)
+        # host-materialize a small leaf INSIDE the timed window: a real device->host
+        # transfer cannot complete before the computation that produces it, whereas
+        # block_until_ready alone proved spoofable for deserialized executables through
+        # the axon tunnel (r4: 1-3 ms 'runs' of a 0.7 s program)
+        np.asarray(out["part_acc"])
         times.append(time.time() - t0)
 
     best = min(times)
@@ -364,6 +401,10 @@ def main() -> None:
             "aot": aot_status,
             "p50_denoise_verify_iter_latency_s": round(iter_latency_p50, 4),
             "runs_s": [round(t, 3) for t in times],
+            # 6 agglomeration iters x 20 denoise steps cannot finish in <50 ms even at
+            # speed of light; a True here means the measurement path is broken (r4 saw
+            # exactly this from unvalidated AOT executables) and the value is NOT evidence
+            "timing_suspect": best < 0.05,
             # BASELINE.md north star: >= 10x the CPU reference on v5e-8; this is the
             # multiple of that TARGET achieved on ONE chip
             "north_star_x": round(

@@ -129,3 +129,77 @@ print('FP_OK', rid)
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "FP_OK" in proc.stdout
+
+
+def test_aot_executable_checksum_validation(tmp_path):
+    """_engine_call_aot must trust a deserialized executable ONLY after re-running the
+    fixed-rng save-time call and matching host-materialized checksums. Round 4 observed
+    deserialized executables through the axon tunnel returning never-computed buffers
+    that block_until_ready treated as ready (1-3 ms 'runs' of a 0.7 s program, bogus
+    15k assemblies/s); corrupted-checksum and legacy-format pickles must be rejected
+    and recompiled, never timed. Runs in a fresh SINGLE-device CPU subprocess: under the
+    conftest's 8 virtual devices, deserialized single-device executables cannot execute
+    at all (execute_sharded shard-count error — itself caught by the rejected-load path)."""
+    code = """
+import pickle, types, glob
+import sys
+sys.path.insert(0, %r)
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp
+import numpy as np
+import bench
+bench.__file__ = %r + '/bench.py'   # point the aot cache dir into tmp
+
+@jax.jit
+def fn(params, sample, rngs):
+    return {'part_acc': jnp.tanh(sample['part_pcs'].sum(axis=(1, 2)) * params['w'])
+            + 0.0 * rngs.sum()}
+
+engine = types.SimpleNamespace(jitted=fn, params={'w': jnp.float32(2.0)})
+sample = {'part_pcs': jnp.arange(24, dtype=jnp.float32).reshape(2, 3, 4)}
+rngs = jnp.ones((2,), jnp.float32)
+cfg = types.SimpleNamespace(trainer=types.SimpleNamespace(precision='fp32'),
+                            inference=types.SimpleNamespace(batch_size=2))
+expect = np.asarray(fn(engine.params, sample, rngs)['part_acc'])
+
+call, status = bench._engine_call_aot(engine, sample, rngs, cfg)
+assert status == 'miss-saved', status
+np.testing.assert_allclose(np.asarray(call(sample, rngs)['part_acc']), expect, rtol=1e-6)
+pkls = glob.glob(%r + '/.jax_cache/aot/*.pkl')
+assert len(pkls) == 1, pkls
+with open(pkls[0], 'rb') as fh:
+    blob = pickle.load(fh)
+assert len(blob) == 4  # payload, in_tree, out_tree, checksum
+
+# warm start: validation passes -> hit, and the callable computes real values
+call2, status2 = bench._engine_call_aot(engine, sample, rngs, cfg)
+assert status2 == 'hit', status2
+np.testing.assert_allclose(np.asarray(call2(sample, rngs)['part_acc']), expect, rtol=1e-6)
+
+# corrupt the stored checksum: must be rejected + recompiled/resaved, never trusted
+with open(pkls[0], 'wb') as fh:
+    pickle.dump((*blob[:3], [1e9 for _ in blob[3]]), fh)
+_, status3 = bench._engine_call_aot(engine, sample, rngs, cfg)
+assert status3 == 'rejected-validation-saved', status3
+
+# legacy 3-tuple (pre-validation) pickles carry no proof: reject + resave
+with open(pkls[0], 'rb') as fh:
+    blob4 = pickle.load(fh)
+assert len(blob4) == 4 and bench._checksums_close(blob4[3], blob4[3])
+with open(pkls[0], 'wb') as fh:
+    pickle.dump(blob4[:3], fh)
+_, status4 = bench._engine_call_aot(engine, sample, rngs, cfg)
+assert status4 == 'rejected-load-saved', status4
+call5, status5 = bench._engine_call_aot(engine, sample, rngs, cfg)
+assert status5 == 'hit', status5
+print('AOT_VALIDATION_OK')
+""" % (REPO, str(tmp_path), str(tmp_path))
+    env = _clean_env()
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "AOT_VALIDATION_OK" in proc.stdout
