@@ -203,3 +203,35 @@ print('AOT_VALIDATION_OK')
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "AOT_VALIDATION_OK" in proc.stdout
+
+
+def test_recorded_full_range_surfaced(tmp_path, monkeypatch):
+    """main()'s BENCH JSON must carry the recorded --full-range figure (the honest
+    3-20-part serving number) when evidence/bench/full_range.jsonl exists; errors and
+    absence degrade to None, never an exception."""
+    import json as _json
+
+    import bench
+
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    assert bench._recorded_full_range() is None  # absent file
+
+    ev = tmp_path / "evidence" / "bench"
+    ev.mkdir(parents=True)
+    (ev / "full_range.jsonl").write_text("not json\n")
+    assert bench._recorded_full_range() is None  # unparseable
+
+    recs = [
+        {"error": "tunnel died"},
+        {"metric": "serving_assemblies_per_sec_3to20_parts", "value": 7.5,
+         "extra": {"n_shapes": 32}},
+        {"metric": "serving_assemblies_per_sec_3to20_parts", "value": 8.1,
+         "extra": {"n_shapes": 32}},
+    ]
+    (ev / "full_range.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in recs) + "\n")
+    got = bench._recorded_full_range()
+    assert got["value"] == 8.1  # most recent successful record wins
+    assert got["n_shapes"] == 32
+    assert got["metric"] == "serving_assemblies_per_sec_3to20_parts"
+    assert "recorded_mtime_utc" in got
