@@ -26,6 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+if os.environ.get("PFPP_CPU", "0") == "1":
+    # CPU smoke runs (wiring checks while the chip is busy): JAX_PLATFORMS env is
+    # ignored on this host (force-registered axon backend, CLAUDE.md) — the config
+    # update before any device touch is the only working switch
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
