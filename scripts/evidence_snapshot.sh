@@ -16,6 +16,7 @@ snap() { # snap <src> <dst>
     cp "$src" "$dst" && changed=1
   fi
 }
+snap /tmp/pfpp_gen_4096/out/everyday/vqvae/metrics.jsonl    evidence/gen4096/vqvae/metrics.inflight.jsonl
 snap /tmp/pfpp_gen_4096/out/everyday/denoiser/metrics.jsonl evidence/gen4096/denoiser/metrics.inflight.jsonl
 snap /tmp/pfpp_gen_4096/out/everyday/verifier/metrics.jsonl evidence/gen4096/verifier/metrics.inflight.jsonl
 snap /tmp/pfpp_gen_4096/matcher_out/metrics.jsonl          evidence/gen4096/matcher_out/metrics.inflight.jsonl

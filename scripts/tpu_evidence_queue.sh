@@ -64,7 +64,9 @@ if [ ! -f /tmp/gen4096_train.done ]; then
   echo "=== stage A: synthetic_train_eval $(date -u +%H:%M:%S)"
   # pin the 4096-shape config HERE so supervisor relaunches can never fall back to the
   # script's 256-shape defaults; budgets are plateau-gated floors (PLATEAU_X), r4
-  N_TRAIN=4096 N_VAL=32 STEPS_AE=4000 STEPS_DN=12000 STEPS_VF=1000 PLATEAU_X=3 \
+  # PLATEAU_X=1.5 (was 3): the r4 host reboot wiped /tmp mid-denoiser, forcing a full
+  # from-scratch rerun with ~6h left — cap extensions so stage B (matcher) still runs
+  N_TRAIN=4096 N_VAL=32 STEPS_AE=4000 STEPS_DN=12000 STEPS_VF=1000 PLATEAU_X=1.5 \
     python scripts/synthetic_train_eval.py || exit 1
   touch /tmp/gen4096_train.done
 fi
