@@ -6,8 +6,9 @@ part-adjacency graph by the shared-vertex test at 1e-5 precision (:85-126), pick
 largest-extent part as the reference part (:200-204), and write one .npz per shape with the
 pc_data schema (generate_pc_data.py:31-41).
 
-Requires ``trimesh`` (not part of the baked TPU image); import is gated so the rest of the data
-package works without it. Without meshes, use data/synthetic.py to generate fixtures.
+Mesh loading prefers ``trimesh`` when installed (exotic encodings) and otherwise uses the
+dependency-free internal loader (data/meshio.py, OBJ + PLY) — the pipeline runs on real
+mesh files either way. Without meshes, use data/synthetic.py to generate fixtures.
 """
 
 from __future__ import annotations
@@ -18,15 +19,17 @@ import numpy as np
 
 
 def _require_trimesh():
+    """Resolve the mesh-loading module: trimesh if installed, else the internal
+    numpy loader (duck-compatible: .load(path, force='mesh') -> mesh with
+    vertices/triangles/area_faces/extents). Name kept for test monkeypatching."""
     try:
         import trimesh  # noqa: F401
 
         return trimesh
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "mesh preprocessing needs trimesh; install it or use "
-            "puzzlefusion_plusplus_tpu.data.synthetic.generate_dataset for fixtures"
-        ) from e
+    except ImportError:
+        from puzzlefusion_plusplus_tpu.data import meshio
+
+        return meshio
 
 
 def sample_mesh_surface(mesh, n: int, rng: np.random.Generator) -> np.ndarray:
