@@ -96,6 +96,88 @@ REPEATS = max(1, int(os.environ.get("PFPP_BENCH_REPEATS", "3")))
 NUM_BENCH_SHAPES = 32
 
 
+def _pid_chain_contains(root: int) -> bool:
+    """True when ``root`` is an ancestor of this process (walk own ppid chain)."""
+    p = os.getpid()
+    while p > 1:
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                p = int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            return False
+        if p == root:
+            return True
+    return False
+
+
+def _proc_descendants(root: int) -> list:
+    """``root`` plus all its live descendant pids (explicit /proc ppid walk — never
+    pattern matching, which can catch this process's own shell)."""
+    kids: dict = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            continue
+        kids.setdefault(ppid, []).append(int(pid))
+    out, stack = [], [root]
+    while stack:
+        p = stack.pop()
+        out.append(p)
+        stack.extend(kids.get(p, []))
+    return out
+
+
+class _pause_background_queue:
+    """SIGSTOP the evidence-queue process tree (scripts/supervise_train.sh pid file)
+    around the timed windows, SIGCONT it after. The driver runs bench.py at round end
+    while a multi-hour training may still own the chip; without this the timed runs
+    interleave with training programs and the headline is contention noise (the r4
+    'contended host' determinism attempts measured 294-480+ s warm starts vs 154-225
+    quiet). Skipped when this bench IS a queue descendant (stages C/D of
+    scripts/tpu_evidence_queue.sh invoke bench.py themselves — self-stopping would
+    deadlock) or under PFPP_BENCH_NO_PAUSE=1. The supervisor itself (parent of the pid
+    in the file) keeps running; a paused child that later dies mid-step is relaunched
+    and resumes from its checkpoint."""
+
+    def __init__(self):
+        self.pidfile = os.environ.get("PFPP_QUEUE_PIDFILE", "/tmp/queue.pid")
+        self.stopped: list = []
+
+    def __enter__(self):
+        import signal
+
+        if int(os.environ.get("PFPP_BENCH_NO_PAUSE", "0")):
+            return self
+        try:
+            with open(self.pidfile) as f:
+                root = int(f.read().strip())
+        except (OSError, ValueError):
+            return self
+        if _pid_chain_contains(root) or not os.path.exists(f"/proc/{root}"):
+            return self
+        for p in _proc_descendants(root):
+            try:
+                os.kill(p, signal.SIGSTOP)
+                self.stopped.append(p)
+            except (ProcessLookupError, PermissionError):
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for p in reversed(self.stopped):
+            try:
+                os.kill(p, signal.SIGCONT)
+            except (ProcessLookupError, PermissionError):
+                pass
+        return False
+
+
 def _ensure_data(data_dir: str = None, max_parts: int = 12) -> str:
     from puzzlefusion_plusplus_tpu.data import generate_dataset
 
@@ -277,28 +359,29 @@ def serving_main(full_range: bool = False) -> None:
     pads = sorted({(int(b["part_pcs"].shape[0]), int(b["part_pcs"].shape[1]))
                    for b in batches})
 
-    t0 = time.time()
-    warmed = set()
-    for b in batches:  # compile each distinct (batch_size, pad) specialization exactly once
-        key = (int(b["part_pcs"].shape[0]), int(b["part_pcs"].shape[1]))
-        if key in warmed:
-            continue
-        warmed.add(key)
-        rngs = jax.random.split(jax.random.key(0), b["part_pcs"].shape[0])
-        jax.block_until_ready(engine(b, rngs))
-    warm_s = time.time() - t0
-
-    times = []
-    for r in range(REPEATS):
+    with _pause_background_queue():
         t0 = time.time()
-        n = 0
-        for b in batches:
-            rngs = jax.random.split(jax.random.key(r + 1), b["part_pcs"].shape[0])
-            out = engine(b, rngs)
-            jax.block_until_ready(out)
-            np.asarray(out["part_acc"])  # force a real host round-trip (see main())
-            n += b["part_pcs"].shape[0]
-        times.append(time.time() - t0)
+        warmed = set()
+        for b in batches:  # compile each distinct (batch_size, pad) specialization once
+            key = (int(b["part_pcs"].shape[0]), int(b["part_pcs"].shape[1]))
+            if key in warmed:
+                continue
+            warmed.add(key)
+            rngs = jax.random.split(jax.random.key(0), b["part_pcs"].shape[0])
+            jax.block_until_ready(engine(b, rngs))
+        warm_s = time.time() - t0
+
+        times = []
+        for r in range(REPEATS):
+            t0 = time.time()
+            n = 0
+            for b in batches:
+                rngs = jax.random.split(jax.random.key(r + 1), b["part_pcs"].shape[0])
+                out = engine(b, rngs)
+                jax.block_until_ready(out)
+                np.asarray(out["part_acc"])  # force a real host round-trip (see main())
+                n += b["part_pcs"].shape[0]
+            times.append(time.time() - t0)
 
     value = n / min(times)
     counts = ds.num_parts_list()
@@ -377,24 +460,25 @@ def main() -> None:
     # warmup / compile — via a serialized AOT executable when a fingerprint-matching one
     # exists (deterministic warm starts; the persistent HLO cache is flaky through the
     # axon tunnel, VERDICT r2 #8)
-    t0 = time.time()
-    engine, aot_status = _engine_call_aot(engine, sample, rngs, cfg)
-    out = engine(sample, rngs)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-
-    times = []
-    for r in range(REPEATS):
-        rngs = jax.random.split(jax.random.key(r + 1), n)
+    with _pause_background_queue() as pq:
         t0 = time.time()
+        engine, aot_status = _engine_call_aot(engine, sample, rngs, cfg)
         out = engine(sample, rngs)
         jax.block_until_ready(out)
-        # host-materialize a small leaf INSIDE the timed window: a real device->host
-        # transfer cannot complete before the computation that produces it, whereas
-        # block_until_ready alone proved spoofable for deserialized executables through
-        # the axon tunnel (r4: 1-3 ms 'runs' of a 0.7 s program)
-        np.asarray(out["part_acc"])
-        times.append(time.time() - t0)
+        compile_s = time.time() - t0
+
+        times = []
+        for r in range(REPEATS):
+            rngs = jax.random.split(jax.random.key(r + 1), n)
+            t0 = time.time()
+            out = engine(sample, rngs)
+            jax.block_until_ready(out)
+            # host-materialize a small leaf INSIDE the timed window: a real device->host
+            # transfer cannot complete before the computation that produces it, whereas
+            # block_until_ready alone proved spoofable for deserialized executables through
+            # the axon tunnel (r4: 1-3 ms 'runs' of a 0.7 s program)
+            np.asarray(out["part_acc"])
+            times.append(time.time() - t0)
 
     best = min(times)
     assemblies_per_sec = n / best
@@ -426,6 +510,9 @@ def main() -> None:
             "north_star_x": round(
                 assemblies_per_sec / (10 * REFERENCE_CPU_ASSEMBLIES_PER_SEC), 2
             ),
+            # background evidence-queue processes SIGSTOPped for the timed windows
+            # (0 = the chip was already quiet or this bench runs inside the queue)
+            "queue_paused_procs": len(pq.stopped),
         },
     }
     fr = _recorded_full_range()

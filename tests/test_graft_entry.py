@@ -235,3 +235,76 @@ def test_recorded_full_range_surfaced(tmp_path, monkeypatch):
     assert got["n_shapes"] == 32
     assert got["metric"] == "serving_assemblies_per_sec_3to20_parts"
     assert "recorded_mtime_utc" in got
+
+
+def _proc_state(pid):
+    with open(f"/proc/{pid}/stat") as f:
+        return f.read().rsplit(")", 1)[1].split()[0]
+
+
+def test_pause_background_queue_stops_and_resumes(tmp_path, monkeypatch):
+    """_pause_background_queue must SIGSTOP the whole pid-file process tree for the timed
+    windows and SIGCONT it after — the driver's round-end bench would otherwise measure
+    chip contention from a still-running evidence-queue training."""
+    import time as _time
+
+    import bench
+
+    proc = subprocess.Popen(["bash", "-c", "sleep 30 & wait"])
+    try:
+        _time.sleep(0.3)  # let bash fork the sleep child
+        pidfile = tmp_path / "queue.pid"
+        pidfile.write_text(str(proc.pid))
+        monkeypatch.setenv("PFPP_QUEUE_PIDFILE", str(pidfile))
+        monkeypatch.delenv("PFPP_BENCH_NO_PAUSE", raising=False)
+        def _await_states(pids, want_stopped, deadline_s=5.0):
+            # SIGSTOP/SIGCONT state flips are asynchronous on a loaded host: poll
+            t1 = _time.time() + deadline_s
+            while _time.time() < t1:
+                states = [_proc_state(p) for p in pids]
+                if all((s == "T") == want_stopped for s in states):
+                    return states
+                _time.sleep(0.05)
+            return states
+
+        with bench._pause_background_queue() as pq:
+            assert len(pq.stopped) >= 2, pq.stopped  # bash + its sleep child
+            states = _await_states(pq.stopped, want_stopped=True)
+            assert all(s == "T" for s in states), states
+        states = _await_states(pq.stopped, want_stopped=False)
+        assert all(s != "T" for s in states), states
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_pause_background_queue_guards(tmp_path, monkeypatch):
+    """No-ops: missing/garbage pid file, a pid that is this process's own ancestor
+    (stage C/D of the evidence queue run bench.py INSIDE the queue — self-stopping would
+    deadlock), and the PFPP_BENCH_NO_PAUSE escape hatch."""
+    import bench
+
+    pidfile = tmp_path / "queue.pid"
+    monkeypatch.setenv("PFPP_QUEUE_PIDFILE", str(pidfile))
+
+    with bench._pause_background_queue() as pq:  # missing file
+        assert pq.stopped == []
+    pidfile.write_text("not-a-pid")
+    with bench._pause_background_queue() as pq:  # garbage file
+        assert pq.stopped == []
+
+    pidfile.write_text(str(os.getppid()))  # our own ancestor: the queue case
+    assert bench._pid_chain_contains(os.getppid())
+    with bench._pause_background_queue() as pq:
+        assert pq.stopped == []
+
+    proc = subprocess.Popen(["sleep", "5"])
+    try:
+        pidfile.write_text(str(proc.pid))
+        monkeypatch.setenv("PFPP_BENCH_NO_PAUSE", "1")
+        with bench._pause_background_queue() as pq:
+            assert pq.stopped == []
+        assert _proc_state(proc.pid) != "T"
+    finally:
+        proc.kill()
+        proc.wait()
