@@ -95,3 +95,14 @@ for batch in loader:
 
 agg = {k2: float(np.mean([a[k2] for a in accs])) for k2 in accs[0]}
 print(f"[{time.time()-t0:.0f}s] {SPLIT}-split ({SUBSET} shapes) metrics: {agg}", flush=True)
+
+# persist into the committed evidence tree (survives /tmp dying with the host)
+from evidence import collect, write_summary  # noqa: E402 (scripts/ on sys.path)
+
+eng_dir = OUT + "/engine_eval"
+os.makedirs(eng_dir, exist_ok=True)
+write_summary(eng_dir, f"{SPLIT}split_sampling", {
+    "metrics": agg, "n_train": N_TRAIN, "subset": SUBSET, "split": SPLIT,
+    "best_ckpt": best, "per_batch": accs,
+})
+collect(eng_dir, f"gen{N_TRAIN}/engine")

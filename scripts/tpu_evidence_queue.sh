@@ -71,6 +71,17 @@ if [ ! -f /tmp/gen4096_train.done ]; then
   touch /tmp/gen4096_train.done
 fi
 
+# stage A1: train-split sampling eval — decomposes the held-out plateau into
+# optimization gap (train ALSO low -> steps/capacity/task) vs generalization gap
+# (train high, held-out low -> N_TRAIN too small / synthetic diversity). Non-fatal.
+if [ ! -f /tmp/gen4096_trainsplit.done ] && [ -f /tmp/gen4096_train.done ]; then
+  echo "=== stage A1: train-split sampling eval $(date -u +%H:%M:%S)"
+  N_TRAIN=4096 SUBSET=32 BATCH=16 SPLIT=train timeout 2400 \
+    python scripts/eval_train_split.py \
+    && touch /tmp/gen4096_trainsplit.done \
+    || echo "stage A1 failed (non-fatal) $(date -u +%H:%M:%S)"
+fi
+
 # stage B: matcher at scale -> held-out mat_f1 curve + matching_data round trip
 # (VERDICT r2 #2a/#2c)
 if [ ! -f /tmp/matcher_tpu.done ]; then
