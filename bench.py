@@ -165,6 +165,21 @@ class _pause_background_queue:
                 self.stopped.append(p)
             except (ProcessLookupError, PermissionError):
                 pass
+        if self.stopped:
+            # kill-safe restore: a SIGKILLed/OOM-killed bench would otherwise leave the
+            # multi-hour training frozen forever (stopped processes never exit, so the
+            # relaunch supervisor never fires). A detached watchdog SIGCONTs the tree as
+            # soon as this process is gone; the normal-path __exit__ SIGCONT is idempotent.
+            import subprocess
+
+            pids = " ".join(str(p) for p in self.stopped)
+            self._watchdog = subprocess.Popen(
+                ["bash", "-c",
+                 f"while kill -0 {os.getpid()} 2>/dev/null; do sleep 2; done; "
+                 f"kill -CONT {pids} 2>/dev/null"],
+                start_new_session=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
         return self
 
     def __exit__(self, *exc):

@@ -137,14 +137,35 @@ def load_ply(path: str) -> TriMesh:
         for name, count, props in elements:
             if fmt == "ascii":
                 rows = [fh.readline().split() for _ in range(count)]
-                if name == "vertex":
+                pure_scalar = all(p[0] == "scalar" for p in props)
+                if name == "vertex" and pure_scalar:
                     cols = {p[2]: i for i, p in enumerate(props)}
                     arr = np.asarray(rows, np.float64) if rows else np.zeros((0, len(props)))
                     verts = arr[:, [cols["x"], cols["y"], cols["z"]]]
-                elif name == "face":
-                    for r in rows:
-                        n = int(r[0])
-                        faces.extend(_fan_triangulate([int(x) for x in r[1 : 1 + n]]))
+                elif name in ("vertex", "face"):
+                    # general path: walk the DECLARED property order per row — a face
+                    # element may carry scalar properties before the index list (r4
+                    # review: positional r[0] misread such rows), and a vertex element
+                    # may carry list properties (ragged rows break the vectorized path)
+                    want = {"x": 0, "y": 1, "z": 2}
+                    vout = np.zeros((count, 3)) if name == "vertex" else None
+                    for ri, r in enumerate(rows):
+                        k = 0
+                        for kind, _meta, pname in props:
+                            if kind == "scalar":
+                                if vout is not None and pname in want:
+                                    vout[ri, want[pname]] = float(r[k])
+                                k += 1
+                            else:
+                                n = int(r[k])
+                                if name == "face" and pname in (
+                                    "vertex_indices", "vertex_index",
+                                ):
+                                    faces.extend(_fan_triangulate(
+                                        [int(x) for x in r[k + 1 : k + 1 + n]]))
+                                k += 1 + n
+                    if vout is not None:
+                        verts = vout
                 # other elements: parsed and discarded
             else:  # binary little endian
                 if name == "vertex" and all(p[0] == "scalar" for p in props):
@@ -154,11 +175,15 @@ def load_ply(path: str) -> TriMesh:
                         [arr["x"], arr["y"], arr["z"]], axis=1
                     ).astype(np.float64)
                 else:
-                    for _ in range(count):
+                    vout = np.zeros((count, 3)) if name == "vertex" else None
+                    for ri in range(count):
                         poly = None
                         for kind, meta, pname in props:
                             if kind == "scalar":
-                                fh.read(np.dtype(meta).itemsize)
+                                raw = fh.read(np.dtype(meta).itemsize)
+                                if vout is not None and pname in ("x", "y", "z"):
+                                    vout[ri, "xyz".index(pname)] = np.frombuffer(
+                                        raw, "<" + meta)[0]
                             else:
                                 cnt_dt, idx_dt = meta
                                 (n,) = struct.unpack(
@@ -174,6 +199,8 @@ def load_ply(path: str) -> TriMesh:
                                     poly = [int(v) for v in vals]
                         if name == "face" and poly is not None:
                             faces.extend(_fan_triangulate(poly))
+                    if vout is not None:
+                        verts = vout
         return TriMesh(verts, np.asarray(faces, np.int64).reshape(-1, 3))
 
 

@@ -101,7 +101,13 @@ def build_engine_fn(cfg: Config):
         # ref parts are pinned to GT, so part_acc has a ~0.25 structural floor on a
         # 2-20-part mix (scripts/part_acc_floor.py); nonref excludes the give-away parts
         nonref = (valids == 1) & ~batch["ref_part"].astype(bool)
-        acc_nonref = (acc_per_part & nonref).sum(-1) / nonref.sum(-1).clip(1)
+        # all-ref shapes score 1.0, matching training/denoiser.py::eval_metrics — the
+        # training-time eval_part_acc_nonref curve and this engine metric must agree
+        acc_nonref = jnp.where(
+            nonref.sum(-1) > 0,
+            (acc_per_part & nonref).sum(-1) / nonref.sum(-1).clip(1),
+            1.0,
+        )
         return {
             "part_acc": acc, "part_acc_nonref": acc_nonref, "shape_cd": shape_cd,
             "rmse_r": rmse_r, "rmse_t": rmse_t,

@@ -32,17 +32,20 @@ def oracle_f1_single(
     Returns oracle_f1 (= precision = recall: both assignments are one-to-one over the same
     critical set), mutual_nn_frac, and n_crit. Shapes with < 2 critical points return NaN.
     """
-    # float32 + row-chunked NN scan: a dense float64 [N, N] is ~20 GB at 20 parts x
-    # 2500 pts (ADVICE r3) — chunking bounds peak memory at CHUNK*N*4 bytes and the
-    # critical-set submatrix below is the only full pairwise buffer materialized
+    # float32 + row-chunked NN scan via the |x|^2 + |y|^2 - 2<x,y> identity (the
+    # matching/ops.py::square_distance formulation): peak extra memory is one
+    # [chunk, N] block (the broadcast (x-y)**2 form would materialize [chunk, N, 3]
+    # temporaries, ~3x the bound ADVICE r3 asked for) and the -2xy term is a matmul
     pts = np.ascontiguousarray(gt_pcs, dtype=np.float32)
     n_pts = len(pts)
+    sq = (pts * pts).sum(-1)
     chunk = 2048
     nn_cross_d2 = np.empty(n_pts, dtype=np.float32)
     for s in range(0, n_pts, chunk):
         e = min(s + chunk, n_pts)
-        blk = ((pts[s:e, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        blk = sq[s:e, None] + sq[None, :] - 2.0 * (pts[s:e] @ pts.T)
         blk[piece_id[s:e, None] == piece_id[None, :]] = np.inf
+        np.maximum(blk, 0.0, out=blk)  # matmul rounding can dip slightly negative
         nn_cross_d2[s:e] = blk.min(-1)
     crit = nn_cross_d2 < threshold * threshold
     ci = np.where(crit)[0]

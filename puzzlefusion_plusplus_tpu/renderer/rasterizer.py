@@ -119,6 +119,37 @@ def _shade(tri_world, base_rgb, view_dir):
     return np.clip(rgb + 0.25 * spec, 0.0, 1.0)
 
 
+def _mark_shadow(sh_mask, zbuf, tri_px, tri_depth):
+    """Mark pixels where a sun-projected shadow triangle lies in FRONT of everything in
+    zbuf (strictly nearer: the catcher plane never occludes geometry, and contact points
+    resting exactly on the plane stay unshadowed). Reads zbuf, never writes it."""
+    H, W = zbuf.shape
+    for f in range(len(tri_px)):
+        p = tri_px[f]
+        if (tri_depth[f] <= 1e-6).any():
+            continue
+        x0 = max(int(np.floor(p[:, 0].min())), 0)
+        x1 = min(int(np.ceil(p[:, 0].max())) + 1, W)
+        y0 = max(int(np.floor(p[:, 1].min())), 0)
+        y1 = min(int(np.ceil(p[:, 1].max())) + 1, H)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        xs, ys = np.meshgrid(np.arange(x0, x1) + 0.5, np.arange(y0, y1) + 0.5)
+        a, b, c = p
+        det = (b[0] - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (b[1] - a[1])
+        if abs(det) < 1e-12:
+            continue
+        w1 = ((xs - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (ys - a[1])) / det
+        w2 = ((b[0] - a[0]) * (ys - a[1]) - (xs - a[0]) * (b[1] - a[1])) / det
+        w0 = 1.0 - w1 - w2
+        inside = (w0 >= -1e-7) & (w1 >= -1e-7) & (w2 >= -1e-7)
+        if not inside.any():
+            continue
+        inv_z = w0 / tri_depth[f, 0] + w1 / tri_depth[f, 1] + w2 / tri_depth[f, 2]
+        depth = 1.0 / np.maximum(inv_z, 1e-12)
+        sh_mask[y0:y1, x0:x1] |= inside & (depth < zbuf[y0:y1, x0:x1])
+
+
 def render_scene(
     part_vertices: list[np.ndarray],
     part_faces: list[np.ndarray],
@@ -126,6 +157,7 @@ def render_scene(
     colors=None,
     camera: dict | None = None,
     ground_z: float = -1.0,
+    shadow_strength: float = 0.45,
 ) -> np.ndarray:
     """Render posed part meshes -> [H, W, 4] uint8 RGBA (transparent background +
     shadow-catcher ground, mirroring film_transparent + is_shadow_catcher)."""
@@ -136,23 +168,8 @@ def render_scene(
     zbuf = np.full((H, W), np.inf)
     alpha = np.zeros((H, W))
 
-    # shadow pass first: project every triangle along the sun onto the ground plane and
-    # rasterize at the plane's depth, so geometry correctly occludes its own shadow
-    shadow_col = np.array([0.0, 0.0, 0.0])
-    for verts, faces in zip(part_vertices, part_faces):
-        if len(faces) == 0:
-            continue
-        t = (verts[:, 2] - ground_z) / _SUN_DIR[2]
-        proj = verts - t[:, None] * _SUN_DIR
-        px, depth = _project(proj, loc, R_wc, fx, resolution)
-        tri_px, tri_d = px[faces], depth[faces]
-        cols = np.broadcast_to(shadow_col, (len(faces), 3))
-        simg = np.zeros((H, W, 3))
-        _rasterize_triangles(simg, zbuf, alpha, tri_px, tri_d, cols)
-    shadow_mask = alpha > 0
-    img[shadow_mask] = shadow_col
-    alpha[shadow_mask] = 0.45  # soft shadow on the catcher
-
+    # geometry pass FIRST: a Blender shadow catcher is invisible to rays — shadows must
+    # never occlude geometry (incl. parts below the ground plane at noisy early poses)
     palette = PART_COLORS if colors is None else colors
     for i, (verts, faces) in enumerate(zip(part_vertices, part_faces)):
         if len(faces) == 0:
@@ -164,6 +181,22 @@ def render_scene(
         face_cols = _shade(tri_world, rgb, view_dir)
         px, depth = _project(verts, loc, R_wc, fx, resolution)
         _rasterize_triangles(img, zbuf, alpha, px[faces], depth[faces], face_cols)
+
+    # shadow pass: project every triangle along the sun onto the ground plane; a shadow
+    # pixel shows only where the plane is not hidden behind nearer geometry
+    sh_mask = np.zeros((H, W), bool)
+    for verts, faces in zip(part_vertices, part_faces):
+        if len(faces) == 0:
+            continue
+        t = (verts[:, 2] - ground_z) / _SUN_DIR[2]
+        proj = verts - t[:, None] * _SUN_DIR
+        px, depth = _project(proj, loc, R_wc, fx, resolution)
+        _mark_shadow(sh_mask, zbuf, px[faces], depth[faces])
+    bg = sh_mask & (alpha == 0)  # shadow on the transparent catcher
+    img[bg] = 0.0
+    alpha[bg] = shadow_strength
+    fg = sh_mask & (alpha > shadow_strength)  # geometry visible BEHIND the plane
+    img[fg] *= 1.0 - shadow_strength  # composite the catcher's shadow over it
 
     out = np.empty((H, W, 4), np.uint8)
     out[..., :3] = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)

@@ -22,10 +22,12 @@ snap /tmp/pfpp_gen_4096/out/everyday/verifier/metrics.jsonl evidence/gen4096/ver
 snap /tmp/pfpp_gen_4096/matcher_out/metrics.jsonl          evidence/gen4096/matcher_out/metrics.inflight.jsonl
 snap /tmp/pfpp_gen_4096/matcher_out_raw/metrics.jsonl      evidence/gen4096/matcher_out_raw/metrics.inflight.jsonl
 if [ "$changed" = 1 ]; then
+  # pathspec-limited commit: never sweep unrelated concurrently-staged changes into a
+  # data-only snapshot commit
   git add evidence/ >/dev/null 2>&1 && \
   git commit -q -m "Evidence snapshot: in-flight stage metrics ($(date -u +%H:%M:%S))
 
-No-Verification-Needed: data-only in-flight metric snapshot" 2>/dev/null \
+No-Verification-Needed: data-only in-flight metric snapshot" -- evidence/ 2>/dev/null \
     && echo "snapshot committed $(date -u +%H:%M:%S)" \
     || echo "snapshot commit skipped (lock/race) $(date -u +%H:%M:%S)"
 fi

@@ -19,15 +19,27 @@ print('tunnel ok', jax.devices())
 
 EV=/root/repo/evidence/bench; mkdir -p "$EV"
 
+bench_ok() { # bench_ok <jsonl> [bench args...] — bench.py emits {"backend_unavailable":
+  # true, ...} with rc=0 on a dead tunnel (so the DRIVER always gets a parseable line);
+  # here that record must count as FAILURE, or an outage would tee zero-value rows into
+  # committed evidence and the .done marker would block re-measurement forever (r4 review)
+  local out_file=$1; shift
+  local out
+  out=$(python bench.py "$@") || return 1
+  printf '%s\n' "$out" >> "$out_file"
+  printf '%s' "$out" | grep -q backend_unavailable && return 1
+  return 0
+}
+
 # stage C: warm-start determinism evidence: after ONE uncounted warm-up (pays the fresh
 # compile + seeds the AOT executable), 3 consecutive fresh-process benches must show
 # compile_s < 30 (VERDICT r2 #8); then the full-range (3-20 part) serving metric
 # (VERDICT r3 #3 — the honest headline next to the P=12 bucket figure)
 if [ ! -f /tmp/bench3.done ]; then
   echo "=== stage C: bench determinism $(date -u +%H:%M:%S)"
-  python bench.py | tee "$EV/warmup.jsonl" || exit 1
-  for i in 1 2 3; do python bench.py | tee -a "$EV/determinism.jsonl" || exit 1; done
-  python bench.py --full-range | tee -a "$EV/full_range.jsonl" || exit 1
+  bench_ok "$EV/warmup.jsonl" || exit 1
+  for i in 1 2 3; do bench_ok "$EV/determinism.jsonl" || exit 1; done
+  bench_ok "$EV/full_range.jsonl" --full-range || exit 1
   touch /tmp/bench3.done
 fi
 

@@ -308,3 +308,51 @@ def test_pause_background_queue_guards(tmp_path, monkeypatch):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_pause_watchdog_resumes_after_hard_kill(tmp_path):
+    """If bench.py is SIGKILLed (driver timeout / host OOM) between __enter__ and
+    __exit__, the detached watchdog must SIGCONT the paused queue tree — otherwise the
+    multi-hour training would stay frozen for the rest of the round (stopped processes
+    never exit, so the relaunch supervisor never fires)."""
+    import time as _time
+
+    tree = subprocess.Popen(["bash", "-c", "sleep 60 & wait"])
+    try:
+        _time.sleep(0.3)
+        pidfile = tmp_path / "queue.pid"
+        pidfile.write_text(str(tree.pid))
+        code = (
+            "import os, sys, time\n"
+            f"sys.path.insert(0, {REPO!r})\n"
+            "import bench\n"
+            "ctx = bench._pause_background_queue()\n"
+            "ctx.__enter__()\n"
+            "print('STOPPED', len(ctx.stopped), flush=True)\n"
+            "time.sleep(60)\n"  # hard-killed here; __exit__ never runs
+        )
+        env = dict(os.environ)
+        env["PFPP_QUEUE_PIDFILE"] = str(pidfile)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PFPP_BENCH_NO_PAUSE", None)
+        bench_proc = subprocess.Popen(
+            [sys.executable, "-c", code], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, text=True,
+        )
+        try:
+            line = bench_proc.stdout.readline()
+            assert "STOPPED" in line and int(line.split()[1]) >= 2, line
+            deadline = _time.time() + 5
+            while _time.time() < deadline and _proc_state(tree.pid) != "T":
+                _time.sleep(0.05)
+            assert _proc_state(tree.pid) == "T"
+        finally:
+            bench_proc.kill()  # SIGKILL: no __exit__, watchdog must restore
+            bench_proc.wait()
+        deadline = _time.time() + 15
+        while _time.time() < deadline and _proc_state(tree.pid) == "T":
+            _time.sleep(0.2)
+        assert _proc_state(tree.pid) != "T", "watchdog failed to SIGCONT after kill"
+    finally:
+        tree.kill()
+        tree.wait()

@@ -299,3 +299,50 @@ def test_generate_pc_data_real_loader_no_trimesh(tmp_path):
     assert d["ref_part"].tolist() == [False, True, False, False]  # piece_1 spans 2.0
     pts = d["part_pcs_gt"][2]
     assert (pts >= 5 - 1e-5).all() and (pts <= 5.5 + 1e-5).all()  # sampled on piece_2
+
+
+def test_meshio_ply_property_order_respected(tmp_path):
+    """PLY rows must be parsed by the DECLARED property order (r4 review): a scalar
+    property BEFORE the face index list, scalars after the vertex x/y/z, and a binary
+    vertex element carrying a list property must all still yield correct geometry."""
+    import struct
+
+    from puzzlefusion_plusplus_tpu.data import meshio
+
+    verts = np.array([[0, 0, 0], [2, 0, 0], [0, 3, 0], [0, 0, 4]], np.float64)
+    faces = [[0, 1, 2], [0, 1, 3]]
+
+    # ascii: face has a leading scalar 'flags'; vertex has trailing confidence + a list
+    pa = tmp_path / "weird.ply"
+    pa.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 4\nproperty float x\nproperty float y\nproperty float z\n"
+        "property float confidence\nproperty list uchar float moments\n"
+        "element face 2\nproperty uchar flags\n"
+        "property list uchar int vertex_indices\nend_header\n"
+        + "".join(f"{v[0]} {v[1]} {v[2]} 0.9 2 1.0 2.0\n" for v in verts)
+        + "".join(f"7 3 {f[0]} {f[1]} {f[2]}\n" for f in faces)
+    )
+    ma = meshio.load_ply(str(pa))
+    np.testing.assert_allclose(ma.vertices, verts)
+    np.testing.assert_array_equal(ma.faces, faces)
+
+    # binary: vertex element with a list property (forces the per-row walk) + face flags
+    pb = tmp_path / "weird_bin.ply"
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        "element vertex 4\nproperty float x\nproperty float y\nproperty float z\n"
+        "property list uchar float moments\n"
+        "element face 2\nproperty uchar flags\n"
+        "property list uchar int vertex_indices\nend_header\n"
+    )
+    with open(pb, "wb") as fh:
+        fh.write(header.encode())
+        for v in verts:
+            fh.write(struct.pack("<3f", *v))
+            fh.write(struct.pack("<B2f", 2, 1.0, 2.0))  # moments list
+        for f in faces:
+            fh.write(struct.pack("<BB3i", 7, 3, *f))
+    mb = meshio.load_ply(str(pb))
+    np.testing.assert_allclose(mb.vertices, verts)
+    np.testing.assert_array_equal(mb.faces, faces)

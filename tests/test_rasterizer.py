@@ -100,6 +100,31 @@ def test_render_scene_shadow_on_ground():
     assert sh_rgb.max() < 60
 
 
+def test_shadow_never_occludes_geometry():
+    """Parts BELOW the ground plane (diffusion-noise early poses) must still render:
+    a Blender shadow catcher is invisible to camera rays, so the shadow pass can never
+    z-fight geometry out of the image (round-4 regression: shadow depths written into
+    the shared z-buffer erased below-ground parts)."""
+    above_v, above_f = _quad((0, 0, 0.2), 0.45, axis="z")
+    # big quad well below the catcher plane, directly under the shadow footprint
+    below_v, below_f = _quad((-0.4, 0.4, -2.0), 1.6, axis="z")
+    img = render_scene(
+        [above_v, below_v], [above_f, below_f], resolution=(200, 200),
+        colors=[(255, 0, 0), (0, 0, 255)], ground_z=-1.0,
+    )
+    a = img[..., 3]
+    blue = (img[..., 2].astype(int) > img[..., 0]) & (a == 255)
+    assert blue.sum() > 500, "below-ground part erased by the shadow pass"
+    # the shadow still exists on the transparent background
+    soft = (a > 80) & (a < 180)
+    assert soft.sum() > 20 or blue.sum() > 5000  # footprint may land fully on the part
+    # a solo below-ground render (no occluder) covers the same pixels: geometry parity
+    solo = render_scene([below_v], [below_f], resolution=(200, 200),
+                        colors=[(0, 0, 255)], ground_z=-1.0)
+    covered = solo[..., 3] == 255
+    assert ((a == 255) | ~covered).all() or (covered & (a == 255)).sum() >= 0.99 * covered.sum()
+
+
 def _write_mesh_tree(root, P=3):
     """Mesh dir with P tetrahedra as OBJ files (the fracture-part layout the reference
     renderer walks, myrenderer.py:100-120)."""
