@@ -97,6 +97,7 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int | None = None) -
     path = os.path.abspath(
         os.path.join(ckpt_dir, f"step_{int(step if step is not None else state.step)}")
     )
+    prune_incomplete_checkpoints(ckpt_dir)  # clear interrupted-save leftovers first
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(
         path,
@@ -169,7 +170,38 @@ def maybe_restore(state: TrainState, ckpt_dir: str, explicit_path: str = "") -> 
         "step": 0,
     }
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(resolve_checkpoint_path(path), target)
+    try:
+        restored = ckptr.restore(resolve_checkpoint_path(path), target)
+    except Exception as e:  # noqa: BLE001 — any unrestorable ckpt must not crash-loop
+        # A checkpoint can still be damaged in ways the tmp-dir filter can't see (e.g. a
+        # kill between orbax's finalize-rename and metadata flush). Fall back to the
+        # next-newest complete checkpoint rather than crash-looping the supervisor.
+        if explicit_path:
+            raise
+        print(f"resume: {path} unrestorable ({e}); trying older checkpoints", flush=True)
+        cands = sorted(
+            (
+                os.path.join(ckpt_dir, d)
+                for d in os.listdir(ckpt_dir)
+                if d.startswith("step_")
+                and _is_complete_checkpoint(os.path.join(ckpt_dir, d))
+            ),
+            key=os.path.getmtime,
+            reverse=True,
+        )
+        restored = None
+        for cand in cands:
+            if os.path.abspath(cand) == os.path.abspath(path):
+                continue
+            try:
+                restored = ckptr.restore(resolve_checkpoint_path(cand), target)
+                path = cand
+                break
+            except Exception as e2:  # noqa: BLE001
+                print(f"resume: {cand} unrestorable ({e2})", flush=True)
+        if restored is None:
+            print("resume: no restorable checkpoint; starting fresh", flush=True)
+            return state
     restored = jax.tree.map(
         lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, restored
     )
@@ -182,12 +214,44 @@ def maybe_restore(state: TrainState, ckpt_dir: str, explicit_path: str = "") -> 
     )
 
 
+def _is_complete_checkpoint(path: str) -> bool:
+    """True iff ``path`` is a finished orbax checkpoint directory.
+
+    An OOM/SIGKILL mid-save (the axon tunnel's documented failure mode, CLAUDE.md) leaves a
+    ``step_N.orbax-checkpoint-tmp`` directory behind; orbax's restore raises
+    ``ValueError: Found incomplete checkpoint`` on it. Auto-resume must never select one —
+    the r4 evidence queue crash-looped for hours on exactly this artifact."""
+    if not os.path.isdir(path):
+        return False
+    if path.rstrip(os.sep).endswith(".orbax-checkpoint-tmp"):
+        return False
+    return True
+
+
+def prune_incomplete_checkpoints(ckpt_dir: str) -> list[str]:
+    """Delete leftover ``*.orbax-checkpoint-tmp`` dirs (interrupted saves). Returns victims."""
+    import shutil
+
+    victims = []
+    if not os.path.isdir(ckpt_dir):
+        return victims
+    for d in os.listdir(ckpt_dir):
+        full = os.path.join(ckpt_dir, d)
+        if d.endswith(".orbax-checkpoint-tmp") and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+            victims.append(full)
+    return victims
+
+
 def latest_checkpoint(ckpt_dir: str) -> str | None:
-    """mtime-latest step_* dir (the reference's auto-resume rule, train_matching.py:77-101)."""
+    """mtime-latest COMPLETE step_* dir (the reference's auto-resume rule,
+    train_matching.py:77-101); incomplete ``*.orbax-checkpoint-tmp`` saves are skipped."""
     if not os.path.isdir(ckpt_dir):
         return None
     cands = [
-        os.path.join(ckpt_dir, d) for d in os.listdir(ckpt_dir) if d.startswith("step_")
+        os.path.join(ckpt_dir, d)
+        for d in os.listdir(ckpt_dir)
+        if d.startswith("step_") and _is_complete_checkpoint(os.path.join(ckpt_dir, d))
     ]
     return max(cands, key=os.path.getmtime) if cands else None
 

@@ -98,3 +98,50 @@ def test_resume_continues_step_counter(tmp_path):
     assert best_checkpoint(ckpt_dir).endswith("step_63")
     r63 = maybe_restore(_state(0.0, 0), ckpt_dir, os.path.join(ckpt_dir, "step_63"))
     assert float(r63.params["w"][0]) == 1.0  # best weights untouched
+
+
+def test_resume_skips_incomplete_orbax_tmp(tmp_path):
+    """An OOM-kill mid-save leaves ``step_N.orbax-checkpoint-tmp`` behind; auto-resume must
+    skip it and land on the newest COMPLETE checkpoint (round-4 incident: the evidence
+    queue crash-looped for ~5 h on ``ValueError: Found incomplete checkpoint``)."""
+    import time
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    topk = TopKCheckpointer(ckpt_dir, monitor="eval_part_acc", mode="max", top_k=2)
+    topk.save(_state(1.0, 100), 100, 0.5)
+    time.sleep(0.01)
+    # plant the interrupted-save artifact, mtime-newer than the real checkpoint
+    tmp_ckpt = os.path.join(ckpt_dir, "step_120.orbax-checkpoint-tmp")
+    os.makedirs(os.path.join(tmp_ckpt, "params"))
+
+    assert os.path.basename(latest_checkpoint(ckpt_dir)) == "step_100"
+    restored = maybe_restore(_state(0.0, 0), ckpt_dir)
+    assert int(restored.step) == 100
+    assert float(restored.params["w"][0]) == 1.0
+
+    # the next save prunes the stale tmp dir
+    topk.save(_state(2.0, 130), 130, 0.6)
+    assert not os.path.exists(tmp_ckpt)
+    assert os.path.basename(latest_checkpoint(ckpt_dir)) == "step_130"
+
+
+def test_resume_falls_back_past_corrupt_checkpoint(tmp_path):
+    """A checkpoint damaged in ways the tmp-dir filter can't see (metadata gone) must not
+    crash resume: fall back to the next-newest restorable checkpoint."""
+    import shutil
+    import time
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    topk = TopKCheckpointer(ckpt_dir, monitor="eval_part_acc", mode="max", top_k=3)
+    topk.save(_state(1.0, 100), 100, 0.5)
+    time.sleep(0.01)
+    topk.save(_state(2.0, 200), 200, 0.6)
+    # corrupt the newest complete-looking checkpoint: strip orbax internals
+    victim = os.path.join(ckpt_dir, "step_200")
+    for entry in os.listdir(victim):
+        full = os.path.join(victim, entry)
+        shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+
+    restored = maybe_restore(_state(0.0, 0), ckpt_dir)
+    assert int(restored.step) == 100
+    assert float(restored.params["w"][0]) == 1.0
