@@ -293,7 +293,8 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     # top-k retention on the monitored metric (reference ModelCheckpoint: top-3 on
     # eval/part_acc + save_last, config/denoiser/global_config.yaml:42-50)
     topk = TopKCheckpointer(f"{out_dir}/ckpt", monitor="eval_part_acc", mode="max",
-                            top_k=cfg.trainer.ckpt_top_k)
+                            top_k=cfg.trainer.ckpt_top_k,
+                            smooth_k=cfg.trainer.ckpt_smooth_k)
     state = maybe_restore(state, f"{out_dir}/ckpt", cfg.denoiser.ckpt_path)
     # resume the step counter from the restored state: a fresh counter would regenerate the
     # same step_N checkpoint names and corrupt top-k retention (overwrite + metric rebind)

@@ -264,35 +264,57 @@ class TopKCheckpointer:
     train_matching.py:41-49).
 
     The monitored values persist in ``<ckpt_dir>/topk.json`` so retention and
-    ``best_checkpoint`` survive restarts."""
+    ``best_checkpoint`` survive restarts.
 
-    def __init__(self, ckpt_dir: str, monitor: str, mode: str = "max", top_k: int = 3):
+    ``smooth_k > 1`` ranks each checkpoint on the trailing mean of the last k raw evals
+    instead of the single raw value: adjacent 32-shape part_acc evals swing by ±0.05
+    (evidence/gen4096/denoiser/metrics.inflight.jsonl — 0.309 at step 14632 then 0.226 at
+    14880), so raw ranking hands stage handoffs a lucky outlier. Raw values are kept in
+    the index under "raw" for audit."""
+
+    def __init__(self, ckpt_dir: str, monitor: str, mode: str = "max", top_k: int = 3,
+                 smooth_k: int = 1):
         assert mode in ("max", "min")
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         self.monitor = monitor
         self.mode = mode
         self.top_k = top_k
+        self.smooth_k = max(1, int(smooth_k))
         self.index_path = os.path.join(self.ckpt_dir, "topk.json")
         self.entries: dict[str, float] = {}
+        self.raw: dict[str, float] = {}
+        self.history: list[float] = []  # raw eval stream, incl. pruned checkpoints
         if os.path.exists(self.index_path):
             with open(self.index_path) as f:
                 saved = json.load(f)
             if saved.get("monitor") == monitor:
                 self.entries = {k: float(v) for k, v in saved["entries"].items()}
+                self.raw = {k: float(v) for k, v in saved.get("raw", {}).items()}
+                self.history = [float(v) for v in saved.get("history", [])]
 
     def _write_index(self):
         os.makedirs(self.ckpt_dir, exist_ok=True)
         with open(self.index_path, "w") as f:
             json.dump(
-                {"monitor": self.monitor, "mode": self.mode, "entries": self.entries}, f
+                {"monitor": self.monitor, "mode": self.mode, "entries": self.entries,
+                 "raw": self.raw, "history": self.history[-64:],
+                 "smooth_k": self.smooth_k}, f
             )
 
     def save(self, state: TrainState, step: int, metric_value: float) -> str:
-        """Checkpoint ``state`` and prune: keeps the top-k by metric + the newest step."""
+        """Checkpoint ``state`` and prune: keeps the top-k by (smoothed) metric + the
+        newest step."""
         path = save_checkpoint(self.ckpt_dir, state, step)
-        self.entries[os.path.basename(path)] = float(metric_value)
+        name = os.path.basename(path)
+        raw = float(metric_value)
+        self.history.append(raw)
+        self.raw[name] = raw
+        ranked_value = (
+            float(np.mean(self.history[-self.smooth_k:])) if self.smooth_k > 1 else raw
+        )
+        self.entries[name] = ranked_value
         self._write_index()
-        self._prune(keep_newest=os.path.basename(path))
+        self._prune(keep_newest=name)
         return path
 
     def _ranked(self) -> list[str]:
@@ -310,6 +332,7 @@ class TopKCheckpointer:
                 if os.path.isdir(victim):
                     shutil.rmtree(victim)
                 del self.entries[name]
+                self.raw.pop(name, None)
         self._write_index()
 
     def best(self) -> str | None:

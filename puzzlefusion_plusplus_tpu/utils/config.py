@@ -122,6 +122,9 @@ class TrainerConfig:
     log_every: int = 50
     ckpt_every_epochs: int = 100
     ckpt_top_k: int = 3
+    # rank top-k on the trailing mean of the last k raw evals (1 = raw; denoiser uses this
+    # because 32-shape part_acc evals swing +-0.05 between adjacent evals — VERDICT r4 #5)
+    ckpt_smooth_k: int = 3
     output_dir: str = "output"
     experiment_name: str = "everyday"
     precision: str = "fp32"  # or "bf16" for bfloat16 matmuls

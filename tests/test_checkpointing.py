@@ -145,3 +145,31 @@ def test_resume_falls_back_past_corrupt_checkpoint(tmp_path):
     restored = maybe_restore(_state(0.0, 0), ckpt_dir)
     assert int(restored.step) == 100
     assert float(restored.params["w"][0]) == 1.0
+
+
+def test_topk_smoothed_ranking_rejects_spikes(tmp_path):
+    """smooth_k=3 ranks on the trailing-mean eval, so a single lucky outlier eval must not
+    win best_checkpoint over a sustained plateau (round-4 finding: ±0.05 adjacent-eval
+    swings on the 32-shape val split put spike checkpoints at the top of topk.json)."""
+    ckpt_dir = str(tmp_path / "ckpt")
+    topk = TopKCheckpointer(ckpt_dir, monitor="eval_part_acc", mode="max", top_k=3,
+                            smooth_k=3)
+    # noisy plateau at ~0.20 with one 0.31 spike, then a genuine sustained climb to ~0.28
+    evals = {1: 0.20, 2: 0.31, 3: 0.19, 4: 0.21, 5: 0.27, 6: 0.28, 7: 0.285}
+    for step, acc in evals.items():
+        topk.save(_state(float(step), step), step, acc)
+    # raw ranking would pick the step-2 spike; smoothed ranking picks the plateau's end
+    assert os.path.basename(best_checkpoint(ckpt_dir)) == "step_7"
+    # raw values are preserved for audit
+    import json
+
+    with open(os.path.join(ckpt_dir, "topk.json")) as f:
+        idx = json.load(f)
+    assert idx["raw"]["step_7"] == 0.285
+    assert len(idx["history"]) == 7
+
+    # restart persistence: the smoothing window survives a process restart
+    topk2 = TopKCheckpointer(ckpt_dir, monitor="eval_part_acc", mode="max", top_k=3,
+                             smooth_k=3)
+    topk2.save(_state(8.0, 8), 8, 0.29)
+    assert abs(topk2.entries["step_8"] - (0.28 + 0.285 + 0.29) / 3) < 1e-9
