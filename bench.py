@@ -159,27 +159,44 @@ class _pause_background_queue:
             return self
         if _pid_chain_contains(root) or not os.path.exists(f"/proc/{root}"):
             return self
-        for p in _proc_descendants(root):
-            try:
-                os.kill(p, signal.SIGSTOP)
-                self.stopped.append(p)
-            except (ProcessLookupError, PermissionError):
-                pass
-        if self.stopped:
-            # kill-safe restore: a SIGKILLed/OOM-killed bench would otherwise leave the
-            # multi-hour training frozen forever (stopped processes never exit, so the
-            # relaunch supervisor never fires). A detached watchdog SIGCONTs the tree as
-            # soon as this process is gone; the normal-path __exit__ SIGCONT is idempotent.
-            import subprocess
+        # kill-safe restore, armed BEFORE the first SIGSTOP: a SIGKILL/OOM of this bench
+        # at any point after a stop lands would otherwise leave the multi-hour training
+        # frozen forever (stopped processes never exit, so the relaunch supervisor never
+        # fires). The watchdog waits for this process to vanish, then walks the live tree
+        # under ``root`` itself (no stale pid list -> no CONT to recycled pids) and CONTs
+        # only processes actually in state T. The normal-path __exit__ CONT is idempotent.
+        import subprocess
 
-            pids = " ".join(str(p) for p in self.stopped)
-            self._watchdog = subprocess.Popen(
-                ["bash", "-c",
-                 f"while kill -0 {os.getpid()} 2>/dev/null; do sleep 2; done; "
-                 f"kill -CONT {pids} 2>/dev/null"],
-                start_new_session=True,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            )
+        wd = (
+            f"while kill -0 {os.getpid()} 2>/dev/null; do sleep 2; done; "
+            f"pids={root}; seen=''; "
+            f"while [ -n \"$pids\" ]; do next=''; "
+            f"  for p in $pids; do seen=\"$seen $p\"; "
+            f"    next=\"$next $(ps -o pid= --ppid $p 2>/dev/null | tr '\\n' ' ')\"; "
+            f"  done; pids=$(echo $next | xargs); done; "
+            f"for p in $seen; do "
+            f"  st=$(sed 's/.*) //' /proc/$p/stat 2>/dev/null | cut -d' ' -f1); "
+            f"  [ \"$st\" = T ] && kill -CONT $p 2>/dev/null; done; true"
+        )
+        self._watchdog = subprocess.Popen(
+            ["bash", "-c", wd], start_new_session=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        # Stop the ROOT first so it cannot fork new children, then sweep descendants to a
+        # fixpoint: anything forked between scans is caught by the next scan (r4 advisor
+        # TOCTOU finding).
+        stopped_set = set()
+        while True:
+            new = [p for p in _proc_descendants(root) if p not in stopped_set]
+            if not new:
+                break
+            for p in new:  # _proc_descendants lists root before its children
+                try:
+                    os.kill(p, signal.SIGSTOP)
+                    stopped_set.add(p)
+                    self.stopped.append(p)
+                except (ProcessLookupError, PermissionError):
+                    stopped_set.add(p)
         return self
 
     def __exit__(self, *exc):

@@ -131,6 +131,16 @@ def load_ply(path: str) -> TriMesh:
                 break
         if fmt not in ("ascii", "binary_little_endian"):
             raise ValueError(f"{path}: unsupported PLY format {fmt!r}")
+        for name, _count, props in elements:
+            if name == "vertex":
+                have = {p[2] for p in props if p[0] == "scalar"}
+                if not {"x", "y", "z"} <= have:
+                    # without this check a differently-named vertex layout would either
+                    # KeyError without the file path or silently yield all-zero vertices
+                    raise ValueError(
+                        f"{path}: vertex element lacks x/y/z scalar properties "
+                        f"(has {sorted(have)})"
+                    )
 
         verts = np.zeros((0, 3))
         faces: list[tuple[int, int, int]] = []

@@ -218,9 +218,13 @@ def render_mesh_trajectory(
 
     art = load_inference_dir(sample_dir)
     mesh_dir = os.path.join(mesh_root, art["mesh_file_path"])
-    objs = sorted(
-        f for f in os.listdir(mesh_dir) if f.endswith(".obj") or f.endswith(".ply")
-    )
+    # Enumerate exactly like preprocessing (preprocess.py / blender.py / reference
+    # myrenderer.py:133-136: .obj only) so mesh<->pose/color ordering matches the artifact
+    # part indices; .ply is accepted only as a fallback when no .obj exists, and a dir
+    # holding converted duplicates of both formats must not double the part list.
+    objs = sorted(f for f in os.listdir(mesh_dir) if f.endswith(".obj"))
+    if not objs:
+        objs = sorted(f for f in os.listdir(mesh_dir) if f.endswith(".ply"))
     meshes = [meshio.load(os.path.join(mesh_dir, f)) for f in objs]
     offset = np.asarray(LOCATION_OFFSET)
 

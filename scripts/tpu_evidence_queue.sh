@@ -26,6 +26,7 @@ bench_ok() { # bench_ok <jsonl> [bench args...] — bench.py emits {"backend_una
   local out_file=$1; shift
   local out
   out=$(python bench.py "$@") || return 1
+  printf '%s\n' "$out"               # keep the JSON line visible in the live queue log
   printf '%s\n' "$out" >> "$out_file"
   printf '%s' "$out" | grep -q backend_unavailable && return 1
   return 0
@@ -37,6 +38,7 @@ bench_ok() { # bench_ok <jsonl> [bench args...] — bench.py emits {"backend_una
 # (VERDICT r3 #3 — the honest headline next to the P=12 bucket figure)
 if [ ! -f /tmp/bench3.done ]; then
   echo "=== stage C: bench determinism $(date -u +%H:%M:%S)"
+  : > "$EV/warmup.jsonl"   # single-row semantics: relaunches must not accumulate dupes
   bench_ok "$EV/warmup.jsonl" || exit 1
   for i in 1 2 3; do bench_ok "$EV/determinism.jsonl" || exit 1; done
   bench_ok "$EV/full_range.jsonl" --full-range || exit 1

@@ -167,3 +167,58 @@ def test_render_mesh_trajectory_end_to_end(tmp_path):
     assert frame.shape[2] == 4 and (frame[..., 3] > 0).sum() > 10
     videos = [p for p in written if p.endswith((".mp4", ".gif"))]
     assert videos and os.path.getsize(videos[0]) > 500
+
+
+def test_render_mesh_trajectory_ignores_ply_duplicates(tmp_path):
+    """A mesh dir holding BOTH .obj and converted .ply duplicates must enumerate only the
+    .obj files (matching preprocessing / reference myrenderer.py:133-136) — doubling the
+    part list would misalign mesh<->pose ordering against the artifact part indices
+    (r4 advisor finding)."""
+    from tests.test_renderer import _write_artifacts
+
+    from puzzlefusion_plusplus_tpu.data import meshio
+    from puzzlefusion_plusplus_tpu.renderer import render_mesh_trajectory
+
+    sample = tmp_path / "sample"
+    sample.mkdir()
+    _write_artifacts(str(sample), P=3, T=6)
+    mesh_root = tmp_path / "meshes"
+    _write_mesh_tree(str(mesh_root), P=3)
+    d = os.path.join(str(mesh_root), "synthetic", "x")
+    for f in sorted(os.listdir(d)):  # plant converted duplicates
+        m = meshio.load(os.path.join(d, f))
+        with open(os.path.join(d, f.replace(".obj", ".ply")), "w") as fh:
+            fh.write("ply\nformat ascii 1.0\n")
+            fh.write(f"element vertex {len(m.vertices)}\n")
+            fh.write("property float x\nproperty float y\nproperty float z\n")
+            fh.write(f"element face {len(m.faces)}\n")
+            fh.write("property list uchar int vertex_indices\nend_header\n")
+            for v in m.vertices:
+                fh.write(f"{v[0]} {v[1]} {v[2]}\n")
+            for fc in m.faces:
+                fh.write(f"3 {fc[0]} {fc[1]} {fc[2]}\n")
+
+    out = tmp_path / "frames"
+    written = render_mesh_trajectory(
+        str(sample), str(mesh_root), str(out), resolution=(64, 64), every=3,
+        make_video=False,
+    )
+    assert [p for p in written if p.endswith(".png")]  # would IndexError/misalign if doubled
+
+
+def test_meshio_ply_missing_xyz_raises_with_path(tmp_path):
+    """A vertex element without x/y/z scalars must raise a ValueError naming the file, not
+    a bare KeyError or silent all-zero vertices (r4 advisor finding)."""
+    import pytest
+
+    from puzzlefusion_plusplus_tpu.data import meshio
+
+    p = tmp_path / "weird.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 1\nproperty float px\nproperty float py\nproperty float pz\n"
+        "element face 1\nproperty list uchar int vertex_indices\nend_header\n"
+        "0 0 0\n3 0 0 0\n"
+    )
+    with pytest.raises(ValueError, match="lacks x/y/z"):
+        meshio.load_ply(str(p))
