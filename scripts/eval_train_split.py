@@ -70,9 +70,13 @@ ds = DenoiserDataset(
     ROOT + f"/pc_data/{SPLIT}", mode="val", max_num_part=cfg.data.max_num_part,
     multiple_ref_parts=cfg.denoiser.multiple_ref_parts, overfit=SUBSET,
 )
-bucket_mult = cfg.data.part_bucket_multiple
-keys = [part_bucket(int(c), bucket_mult, cap=cfg.data.max_num_part)
-        for c in ds.num_parts_list()]
+# mirror the training setup: synthetic_train_eval.py sets part_bucket_multiple from
+# BUCKET_MULT (default 4), while the dataclass default is 0 (off) — using the dataclass
+# default here crashed stage A1 with a ZeroDivisionError in part_bucket (r5 fix); 0 now
+# means "no bucketing": every batch stays at the global pad
+bucket_mult = int(os.environ.get("BUCKET_MULT", "4"))
+keys = ([part_bucket(int(c), bucket_mult, cap=cfg.data.max_num_part)
+         for c in ds.num_parts_list()] if bucket_mult else None)
 loader = Loader(ds, BATCH, shuffle=False, drop_last=False, seed=0, bucket_key=keys)
 
 params = restored["params"]
@@ -81,8 +85,9 @@ sample_fn = tden.make_sample_fn(model, encoder, ddpm, cfg.denoiser.num_inference
 rng = jax.random.key(7)
 accs = []
 for batch in loader:
-    P_b = part_bucket(int(np.max(batch["num_parts"])), bucket_mult,
-                      cap=cfg.data.max_num_part)
+    P_b = (part_bucket(int(np.max(batch["num_parts"])), bucket_mult,
+                       cap=cfg.data.max_num_part)
+           if bucket_mult else cfg.data.max_num_part)
     b = slice_batch_parts(tden.numeric_batch(batch), P_b)
     padded, _ = pad_batch_to_devices(b, mesh.devices.size)
     sharded = shard_batch(padded, mesh)
