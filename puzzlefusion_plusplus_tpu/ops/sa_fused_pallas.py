@@ -206,7 +206,9 @@ def _sa_cached_kernel(
     gidx_ref,  # [1, 8, Sp*K] i32 (row 0 = group indices, per-tile 128-aligned slices)
     g_ref,  # [1, rows, 3] f32 grouped relative xyz for THIS tile (unrotated)
     weff_ref,  # [1, 3, C1] f32 per-cloud rotation-folded xyz weights
-    proj_ref,  # [1, N2, C1] f32 per-cloud pre-projected features (or [1, 8, C1] dummy)
+    proj_ref,  # [1, N2, C1] f32 per-cloud pre-projected features (or [1, 8, C1] dummy);
+    # int8 quantized codes for gather_impl='int8'
+    scale_ref,  # [1, C1] f32 per-cloud per-column dequant scales (ones unless 'int8')
     b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     out_ref,  # [1, ST, C3]
     *, n2: int, k: int, st: int, has_feats: bool, gather_impl: str = "onehot",
@@ -220,7 +222,23 @@ def _sa_cached_kernel(
     )  # [rows, C1]
     if has_feats:
         gidx = gidx_ref[0, 0, pl.ds(s_tile * rows, rows)]  # [rows]
-        if gather_impl == "dynamic":
+        if gather_impl == "int8":
+            # int8 x int8 one-hot gather on the MXU's double-rate int8 path (v5e: 394
+            # TOPS int8 vs 197 TFLOP/s bf16) — the 'cheaper one-hot operands' half of the
+            # named 18% follow-up (VALIDATION.md roofline; the VPU 'dynamic' half was the
+            # r4 negative result). `proj` arrives pre-quantized per cloud and column
+            # (q = round(proj/s), s = colmax|proj|/127); a one-hot row selects exactly one
+            # code, so the int32 accumulator holds q[gidx] exactly and dequantizes by one
+            # VPU multiply. Accuracy cost is 8-bit quantization of the SA2/SA3 feature
+            # projections only (engine-metric impact measured in the bench A/B).
+            col = jax.lax.broadcasted_iota(jnp.int32, (rows, n2), 1)
+            onehot8 = (col == gidx[:, None]).astype(jnp.int8)
+            q = jax.lax.dot_general(
+                onehot8, proj_ref[0, :, :], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [rows, C1] exact int8 codes
+            h = h + q.astype(jnp.float32) * scale_ref[0, :]
+        elif gather_impl == "dynamic":
             # VPU dynamic gather (Mosaic DynamicGatherOp), chunked because Mosaic needs
             # output rows == table rows: rows % n2 == 0 guaranteed by the dispatcher.
             # Moves the 18%-of-engine-FLOPs gather matmuls (VALIDATION.md roofline) off
@@ -260,7 +278,8 @@ def sa_stage_fused_cached(
     w2: jnp.ndarray, b2: jnp.ndarray,  # folded conv1
     w3: jnp.ndarray, b3: jnp.ndarray,  # folded conv2
     interpret: bool = False,  # Pallas interpret mode (CPU tests; kernel has no TPU intrinsics)
-    gather_impl: str | None = None,  # 'onehot' (MXU matmul) | 'dynamic' (VPU gather);
+    gather_impl: str | None = None,  # 'onehot' (MXU f32 matmul) | 'int8' (MXU int8
+    # matmul on per-cloud-quantized projections, 2x rate) | 'dynamic' (VPU gather);
     # None -> PFPP_SA_GATHER env, default 'onehot'
 ) -> jnp.ndarray:
     """-> new_feats [M, S, C3] (max over K of the 3-layer folded MLP)."""
@@ -295,6 +314,15 @@ def sa_stage_fused_cached(
         gidx = jnp.zeros((M, 8, max(Sp * K, 128)), jnp.int32)
     if gather_impl == "dynamic" and (not has_feats or rows % N2p != 0):
         gather_impl = "onehot"  # chunked VPU gather needs rows to tile by the table height
+    scale = jnp.ones((M, C1), jnp.float32)
+    if gather_impl == "int8" and has_feats:
+        # per-cloud per-column symmetric quantization of the pre-projected features; the
+        # quantize pass is O(N2*C1) VPU work vs the O(rows*N2*C1) gather matmul it halves
+        s = jnp.max(jnp.abs(proj), axis=1) / 127.0  # [M, C1]
+        scale = jnp.maximum(s, 1e-30)
+        proj = jnp.clip(jnp.round(proj / scale[:, None, :]), -127, 127).astype(jnp.int8)
+    elif gather_impl == "int8":
+        gather_impl = "onehot"  # stage 1 has no feature gather; nothing to quantize
 
     b1p = jnp.asarray(b1, jnp.float32)[None, :]
     w2p = jnp.asarray(w2, jnp.float32)
@@ -314,6 +342,7 @@ def sa_stage_fused_cached(
             pl.BlockSpec((1, rows, 3), lambda m, s: (m, s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, C1), lambda m, s: (m, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N2p, C1), lambda m, s: (m, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C1), lambda m, s: (m, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(b1p.shape, lambda m, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(w2p.shape, lambda m, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(b2p.shape, lambda m, s: (0, 0), memory_space=pltpu.VMEM),
@@ -324,5 +353,5 @@ def sa_stage_fused_cached(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, Sp, C3), jnp.float32),
         interpret=interpret,
-    )(gidx, g_flat, w_eff, proj, b1p, w2p, b2p, w3p, b3p)
+    )(gidx, g_flat, w_eff, proj, scale, b1p, w2p, b2p, w3p, b3p)
     return out[:, :S, :]

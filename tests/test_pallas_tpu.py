@@ -168,6 +168,14 @@ def test_sa_stage_fused_cached_parity():
     except Exception as e:  # Mosaic lowering failure surfaces as a compile-time error
         assert "gather" in repr(e).lower(), e
 
+    # int8 quantized one-hot gather (VERDICT r4 #6, the MXU-operand half of the 18%
+    # follow-up): must lower on hardware and match within 8-bit quantization tolerance
+    # of the feature projections (here dominated by the same MXU bf16 tolerance).
+    out_i8 = sa_stage_fused_cached(g_rel, w_eff, feats, idx[1], k1[3:], b1, w2, b2,
+                                   w3, b3, gather_impl="int8")
+    np.testing.assert_allclose(np.asarray(out_i8), np.asarray(ref),
+                               atol=6e-2, rtol=6e-2)
+
 
 def test_masked_pairwise_nn_parity():
     from puzzlefusion_plusplus_tpu.ops.chamfer_pallas import masked_pairwise_nn
