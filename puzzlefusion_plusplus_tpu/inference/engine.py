@@ -650,4 +650,5 @@ def auto_agglomerate_batch(
         "pred_rots": final_rots,
         "trajectory": traj_buf,  # [B, max_iters*S, P, 7]
         "final_state": state,
+        "n_iters": it,  # [] i32 — iterations until every sample froze (early exit)
     }

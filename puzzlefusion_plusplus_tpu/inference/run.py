@@ -108,11 +108,17 @@ def build_engine_fn(cfg: Config):
             (acc_per_part & nonref).sum(-1) / nonref.sum(-1).clip(1),
             1.0,
         )
+        # merge telemetry: how much agglomeration actually executed — a run whose engine
+        # outcome is insensitive to matching-data quality (r5 model-vs-GT comparison)
+        # needs this to say whether merges fired at all
+        adj = out["final_state"].adj
         return {
             "part_acc": acc, "part_acc_nonref": acc_nonref, "shape_cd": shape_cd,
             "rmse_r": rmse_r, "rmse_t": rmse_t,
             "acc_per_part": acc_per_part,  # [B, P] bool (valid slots meaningful)
             "trajectory": out["trajectory"],
+            "n_merged_pairs": adj.sum((-1, -2)) // 2,  # [B] i32
+            "n_iters": jnp.broadcast_to(out["n_iters"], acc.shape),  # [B]
         }
 
     param_bundle = {"denoiser": den_params, "verifier": ver_params}
@@ -195,6 +201,8 @@ def save_breakdown_records(out_dir: str, batch: dict, results: dict, n_real: int
                 "acc_per_part": per_part[i][m].astype(int).tolist(),
                 "ref_part": ref[i][m].astype(int).tolist(),
                 "part_scale": [round(float(s), 5) for s in scales[i][m]],
+                "n_merged_pairs": int(np.asarray(results["n_merged_pairs"])[i]),
+                "n_iters": int(np.asarray(results["n_iters"])[i]),
             }) + "\n")
 
 

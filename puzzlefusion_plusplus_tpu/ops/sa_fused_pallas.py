@@ -208,7 +208,7 @@ def _sa_cached_kernel(
     weff_ref,  # [1, 3, C1] f32 per-cloud rotation-folded xyz weights
     proj_ref,  # [1, N2, C1] f32 per-cloud pre-projected features (or [1, 8, C1] dummy);
     # int8 quantized codes for gather_impl='int8'
-    scale_ref,  # [1, C1] f32 per-cloud per-column dequant scales (ones unless 'int8')
+    scale_ref,  # [1, 1, C1] f32 per-cloud per-column dequant scales (ones unless 'int8')
     b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     out_ref,  # [1, ST, C3]
     *, n2: int, k: int, st: int, has_feats: bool, gather_impl: str = "onehot",
@@ -237,7 +237,7 @@ def _sa_cached_kernel(
                 onehot8, proj_ref[0, :, :], dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [rows, C1] exact int8 codes
-            h = h + q.astype(jnp.float32) * scale_ref[0, :]
+            h = h + q.astype(jnp.float32) * scale_ref[0, 0, :]
         elif gather_impl == "dynamic":
             # VPU dynamic gather (Mosaic DynamicGatherOp), chunked because Mosaic needs
             # output rows == table rows: rows % n2 == 0 guaranteed by the dispatcher.
@@ -314,13 +314,13 @@ def sa_stage_fused_cached(
         gidx = jnp.zeros((M, 8, max(Sp * K, 128)), jnp.int32)
     if gather_impl == "dynamic" and (not has_feats or rows % N2p != 0):
         gather_impl = "onehot"  # chunked VPU gather needs rows to tile by the table height
-    scale = jnp.ones((M, C1), jnp.float32)
+    scale = jnp.ones((M, 1, C1), jnp.float32)
     if gather_impl == "int8" and has_feats:
         # per-cloud per-column symmetric quantization of the pre-projected features; the
         # quantize pass is O(N2*C1) VPU work vs the O(rows*N2*C1) gather matmul it halves
-        s = jnp.max(jnp.abs(proj), axis=1) / 127.0  # [M, C1]
+        s = jnp.max(jnp.abs(proj), axis=1, keepdims=True) / 127.0  # [M, 1, C1]
         scale = jnp.maximum(s, 1e-30)
-        proj = jnp.clip(jnp.round(proj / scale[:, None, :]), -127, 127).astype(jnp.int8)
+        proj = jnp.clip(jnp.round(proj / scale), -127, 127).astype(jnp.int8)
     elif gather_impl == "int8":
         gather_impl = "onehot"  # stage 1 has no feature gather; nothing to quantize
 
@@ -342,7 +342,7 @@ def sa_stage_fused_cached(
             pl.BlockSpec((1, rows, 3), lambda m, s: (m, s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, C1), lambda m, s: (m, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N2p, C1), lambda m, s: (m, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C1), lambda m, s: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C1), lambda m, s: (m, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(b1p.shape, lambda m, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(w2p.shape, lambda m, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(b2p.shape, lambda m, s: (0, 0), memory_space=pltpu.VMEM),

@@ -132,5 +132,65 @@ if [ ! -f /tmp/matcher_tpu_raw.done ]; then
     python scripts/matcher_train_eval.py || exit 1
   touch /tmp/matcher_tpu_raw.done
 fi
+# ---------------------------------------------------------------- round-5 stages
+# stage F: int8 one-hot gather A/B (VERDICT r4 #6 — the MXU-operand half of the named
+# 18% follow-up; the VPU half was the r4 negative). Paired fresh-process runs; the AOT
+# fingerprint includes PFPP_SA_GATHER so neither run can reuse the other's executable.
+if [ ! -f /tmp/gather_int8.done ]; then
+  echo "=== stage F: int8 gather A/B $(date -u +%H:%M:%S)"
+  bench_ok "$EV/gather_int8_baseline.jsonl" \
+    || echo "stage F baseline failed (non-fatal) $(date -u +%H:%M:%S)"
+  PFPP_SA_GATHER=int8 timeout 2400 python bench.py | tee -a "$EV/gather_int8.jsonl" \
+    || echo "{\"error\": \"int8 bench failed rc=$? $(date -u +%H:%M:%S)\"}" >> "$EV/gather_int8.jsonl"
+  touch /tmp/gather_int8.done
+fi
+
+# stage F2: matching-sensitivity diagnosis (the stage-B model-vs-GT comparison came back
+# bit-identical; this reruns it with the r5 merge telemetry and publishes WHY — no merges
+# vs coincident decisions). Non-fatal.
+if [ ! -f /tmp/match_sens.done ]; then
+  echo "=== stage F2: matching sensitivity probe $(date -u +%H:%M:%S)"
+  N_TRAIN=4096 BATCH=8 timeout 2400 python scripts/matching_sensitivity_probe.py \
+    && touch /tmp/match_sens.done \
+    || echo "stage F2 failed (non-fatal) $(date -u +%H:%M:%S)"
+fi
+
+# stage E: extend the stage-A denoiser past its r5 budget cap — the plateau check said
+# done=False (rel_improve 0.083) at the 282-epoch cap, and the held-out engine gap is
+# part optimization (VALIDATION.md at-scale section). Clearing the plateau marker lets
+# synthetic_train_eval's stage-2 loop continue from the latest checkpoint; PLATEAU_X=4.5
+# caps at 846 epochs (~54k steps). Stage 3 + the held-out engine eval re-run at the end,
+# refreshing evidence/gen4096/engine/heldout_engine.summary.json with the better model.
+if [ ! -f /tmp/gen4096_ext.done ]; then
+  echo "=== stage E: extended denoiser training $(date -u +%H:%M:%S)"
+  rm -f /tmp/pfpp_gen_4096/.stage2_plateau
+  N_TRAIN=4096 N_VAL=32 STEPS_AE=4000 STEPS_DN=12000 STEPS_VF=1000 PLATEAU_X=4.5 \
+    python scripts/synthetic_train_eval.py || exit 1
+  touch /tmp/gen4096_ext.done
+fi
+
+# stage E1: train-split decomposition rerun on the extended checkpoint (same probe as A1,
+# fresh marker) — the optimization-vs-generalization verdict should be restated after the
+# extension moved the optimization side.
+if [ ! -f /tmp/gen4096_trainsplit_ext.done ]; then
+  echo "=== stage E1: train-split eval (extended ckpt) $(date -u +%H:%M:%S)"
+  N_TRAIN=4096 SUBSET=32 BATCH=16 SPLIT=train timeout 2400 \
+    python scripts/eval_train_split.py \
+    && touch /tmp/gen4096_trainsplit_ext.done \
+    || echo "stage E1 failed (non-fatal) $(date -u +%H:%M:%S)"
+fi
+
+# stage E2: verifier-data provenance A/B (reference provenance: verifier data generated
+# by the trained denoiser, docs/data_preparation.md). Regenerates verifier data from the
+# extended denoiser, trains a fresh verifier, engine A/B vs the synthetic-data verifier —
+# the r5 model-vs-GT matching comparison was bit-identical, implicating merge gating.
+if [ ! -f /tmp/gen4096_vfdn.done ]; then
+  echo "=== stage E2: verifier provenance A/B $(date -u +%H:%M:%S)"
+  N_TRAIN=4096 MAX_SAMPLES=1500 STEPS_VF=1000 timeout 7200 \
+    python scripts/verifier_regen_eval.py \
+    && touch /tmp/gen4096_vfdn.done \
+    || echo "stage E2 failed (non-fatal) $(date -u +%H:%M:%S)"
+fi
+
 echo "=== queue complete $(date -u +%H:%M:%S)"
 exit 0
