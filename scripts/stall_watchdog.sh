@@ -39,7 +39,21 @@ newest_py() {  # newest python descendant of the queue root
   done | tail -1
 }
 
-echo "stall_watchdog $$ watching $PIDFILE (window=${WINDOW}s min_ticks=$MIN_TICKS)" >> "$LOG"
+# Second wedge signature (13:05 incident): the hang keeps a CPU heartbeat (~3s/min of
+# keepalive ticks) that clears any safe MIN_TICKS threshold, but the queue log goes
+# silent — every live stage echoes to it well within QUIET_S (training logs every ~30s,
+# evals per batch, generation per chunk). Kill when the log is stale AND the python
+# predates the staleness window (so short-lived fresh stages are never hit).
+QUEUE_LOG=${STALL_QUEUE_LOG:-/tmp/queue.log}
+QUIET_S=${STALL_QUIET_S:-1800}
+
+py_age_s() {
+  local e
+  e=$(ps -o etimes= -p "$1" 2>/dev/null) || return 1
+  echo "${e:-0}"
+}
+
+echo "stall_watchdog $$ watching $PIDFILE (window=${WINDOW}s min_ticks=$MIN_TICKS quiet=${QUIET_S}s)" >> "$LOG"
 LAST_PID=""; LAST_TICKS=0
 while true; do
   sleep "$WINDOW"
@@ -47,8 +61,14 @@ while true; do
   PY=$(newest_py "$PIDFILE") || continue
   [ -n "${PY:-}" ] || continue
   T=$(cpu_ticks "$PY") || continue
+  AGE=$(py_age_s "$PY") || continue
+  LOG_AGE=$(( $(date +%s) - $(stat -c %Y "$QUEUE_LOG" 2>/dev/null || date +%s) ))
   if [ "$PY" = "$LAST_PID" ] && [ $(( T - LAST_TICKS )) -lt "$MIN_TICKS" ]; then
-    echo "WEDGE: pid $PY cpu ticks $LAST_TICKS->$T over ${WINDOW}s; killing $(date -u +%H:%M:%S)" >> "$LOG"
+    echo "WEDGE(cpu): pid $PY ticks $LAST_TICKS->$T over ${WINDOW}s; killing $(date -u +%H:%M:%S)" >> "$LOG"
+    kill "$PY" 2>/dev/null
+    LAST_PID=""
+  elif [ "$LOG_AGE" -gt "$QUIET_S" ] && [ "$AGE" -gt "$QUIET_S" ]; then
+    echo "WEDGE(quiet): $QUEUE_LOG silent ${LOG_AGE}s, pid $PY age ${AGE}s; killing $(date -u +%H:%M:%S)" >> "$LOG"
     kill "$PY" 2>/dev/null
     LAST_PID=""
   else
